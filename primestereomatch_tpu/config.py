@@ -1,0 +1,92 @@
+"""Static pipeline configuration.
+
+All fields are Python scalars: they are trace-time constants under `jax.jit`
+(static shapes / unrolled offsets), mirroring the reference's compile-time
+macros (reference: include/ComFunc.h:42-58, include/CVC.h:11-25,
+include/PP.h:12-14).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class GIFConfig:
+    """STEREO_GIF pipeline parameters (reference CPU float path).
+
+    Defaults reproduce the reference golden path:
+    CVC no-clamp (src/CVC.cpp:18-27) -> FastGuidedFilter s=4
+    (src/DispEst.cpp:281-295) -> WTA d>=1 (src/DispSel.cpp:83-109) ->
+    JointWMF r=9 (src/PP.cpp:402-425).
+    """
+
+    max_dis: int = 64            # reference: src/StereoMatch.cpp:30
+    alpha: float = 0.9           # ALPHA_32F, include/CVC.h:23
+    border_cost: float = 1.0     # BC_32F, include/CVC.h:12
+    # TAU clamps exist in the reference OpenCL path only (assets/cvc.cl:17-18);
+    # the CPU float path does NOT clamp (src/CVC.cpp:24-25). Kept configurable
+    # to expose the OpenCL-variant semantics as a capability.
+    tau1: float | None = None    # None = no clamp (CPU float semantics)
+    tau2: float | None = None
+    gif_radius: int = 8          # GIF_R_WIN, include/ComFunc.h:49
+    gif_eps: float = 1e-4        # GIF_EPS, include/ComFunc.h:50
+    subsample: int = 4           # FGF s; cycles 2/4/8 via 's' key (src/main.cpp:186-193)
+    med_sz: int = 19             # MED_SZ, include/PP.h:12 (JointWMF r = 19//2 = 9)
+    wmf_sigma: float = 25.5      # JointWMF default sigma (include/JointWMF.h:81)
+    wmf_n_feat: int = 256        # nF clusters (include/JointWMF.h:81)
+    # 'exact': pairwise weights from 6-bit-quantized colors directly (no
+    #          k-means approximation; strictly closer to the ideal weights).
+    # 'table': use a precomputed (nF,nF) weight table + per-pixel feature
+    #          index, bit-matching the reference featureIndexing+filterCore
+    #          contract (include/JointWMF.h:494-660,173-408).
+    wmf_mode: str = "exact"
+    sig_clr: float = 0.1         # SIG_CLR, include/PP.h:13 (wgtMedian)
+    sig_dis: float = 9.0         # SIG_DIS, include/PP.h:14 (wgtMedian)
+
+    @property
+    def fgf_low_radius(self) -> int:
+        # reference: src/fastguidedfilter.cpp:206-208 (2*(r/s)+1, int division)
+        return 2 * (self.gif_radius // self.subsample) + 1
+
+    @property
+    def wmf_radius(self) -> int:
+        # reference: src/PP.cpp:421 ((int)MED_SZ/2 = 9)
+        return self.med_sz // 2
+
+
+@dataclasses.dataclass(frozen=True)
+class SGBMConfig:
+    """STEREO_SGBM parameters (reference: src/StereoMatch.cpp:639-660)."""
+
+    min_disparity: int = 0
+    num_disparities: int = 64
+    block_size: int = 5
+    p1: int = 8 * 3 * 25         # 8 * channels * SADWindowSize^2
+    p2: int = 32 * 3 * 25
+    disp12_max_diff: int = 1
+    pre_filter_cap: int = 63
+    uniqueness_ratio: int = 10
+    speckle_window_size: int = 100
+    speckle_range: int = 32
+    mode: str = "hh"             # MODE_HH: 8 aggregation directions
+    num_channels: int = 3
+
+    @property
+    def num_directions(self) -> int:
+        return 8 if self.mode == "hh" else 5
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """Ground-truth %BP evaluation (reference: src/StereoMatch.cpp:275-311)."""
+
+    error_threshold: int = 4     # src/StereoMatch.cpp:37
+    max_dis: int = 64
+    scale_factor: int = 4        # x4 Teddy/Cones, x3 2005 sets (src/StereoMatch.cpp:540,548)
+
+    @property
+    def threshold_value(self) -> int:
+        # error_threshold * (CHAR_MAX / maxDis) in C integer arithmetic
+        # (src/StereoMatch.cpp:281). CHAR_MAX=127.
+        return self.error_threshold * (127 // self.max_dis)

@@ -1,0 +1,105 @@
+"""STEREO_GIF end-to-end pipeline (the reference golden path, TPU-native).
+
+Stage map (reference call stack, src/StereoMatch.cpp:207-242 ->
+src/DispEst.cpp):
+
+  CVC  cost volume construction   src/CVC.cpp:122,151      -> ops/cost_volume
+  CVF  fast guided filtering      src/fastguidedfilter.cpp -> ops/guided_filter
+  WTA  disparity selection        src/DispSel.cpp:83       -> ops/wta
+  PP   joint weighted median      src/PP.cpp:402, JointWMF.h -> ops/jointwmf
+
+The whole forward is one jit-compiled function over static-shape f32 inputs
+(images in [0,1], BGR channel order as loaded by the reference's imread).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from primestereomatch_tpu.config import GIFConfig
+from primestereomatch_tpu.ops.color import bgr_to_gray_refquirk, sobel_x_k1
+from primestereomatch_tpu.ops.cost_volume import build_cost_volumes
+from primestereomatch_tpu.ops.guided_filter import fast_guided_filter_color
+from primestereomatch_tpu.ops.wta import wta_disparity
+from primestereomatch_tpu.ops.jointwmf import joint_wmf
+
+
+def _to_u8(img01: jax.Array) -> jax.Array:
+    """cv::Mat::convertTo(CV_8UC3, 255): saturate_cast(cvRound(v*255)),
+    round-half-to-even (src/PP.cpp:418-419)."""
+    return jnp.clip(jnp.rint(img01 * 255.0), 0, 255).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "run_postprocess"))
+def stereo_gif_forward(
+    l_img: jax.Array,              # (H, W, 3) float32 in [0,1], BGR order
+    r_img: jax.Array,
+    cfg: GIFConfig = GIFConfig(),
+    run_postprocess: bool = True,
+    l_findex: jax.Array | None = None,   # optional 'table'-mode WMF features
+    r_findex: jax.Array | None = None,
+    wmap: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Full STEREO_GIF forward: returns (l_disp, r_disp) uint8 (H, W)."""
+    if l_img.shape != r_img.shape or l_img.ndim != 3 or l_img.shape[-1] != 3:
+        raise ValueError(
+            f"expected matching (H, W, 3) images, got {l_img.shape} vs {r_img.shape}"
+        )
+    if not jnp.issubdtype(l_img.dtype, jnp.floating):
+        raise TypeError(
+            f"images must be floating point in [0,1] (got {l_img.dtype}); "
+            "scale uint8 inputs by 1/255 first"
+        )
+    # --- CVC ---------------------------------------------------------------
+    l_grd = sobel_x_k1(bgr_to_gray_refquirk(l_img))
+    r_grd = sobel_x_k1(bgr_to_gray_refquirk(r_img))
+    lcv, rcv = build_cost_volumes(
+        l_img, r_img, l_grd, r_grd,
+        max_dis=cfg.max_dis, alpha=cfg.alpha, border_cost=cfg.border_cost,
+        tau1=cfg.tau1, tau2=cfg.tau2,
+    )
+
+    # --- CVF (FGF) ---------------------------------------------------------
+    lcv = fast_guided_filter_color(l_img, lcv, cfg.gif_radius, cfg.gif_eps, cfg.subsample)
+    rcv = fast_guided_filter_color(r_img, rcv, cfg.gif_radius, cfg.gif_eps, cfg.subsample)
+
+    # --- WTA ---------------------------------------------------------------
+    l_disp = wta_disparity(lcv)
+    r_disp = wta_disparity(rcv)
+
+    # --- PP (JointWMF) -------------------------------------------------------
+    if run_postprocess:
+        if cfg.wmf_mode == "table" and l_findex is not None:
+            l_disp = joint_wmf(
+                l_disp, radius=cfg.wmf_radius, n_bins=cfg.max_dis,
+                sigma=cfg.wmf_sigma, findex=l_findex, wmap=wmap,
+            )
+            r_disp = joint_wmf(
+                r_disp, radius=cfg.wmf_radius, n_bins=cfg.max_dis,
+                sigma=cfg.wmf_sigma, findex=r_findex, wmap=wmap,
+            )
+        else:
+            l_disp = joint_wmf(
+                l_disp, _to_u8(l_img), radius=cfg.wmf_radius,
+                n_bins=cfg.max_dis, sigma=cfg.wmf_sigma,
+            )
+            r_disp = joint_wmf(
+                r_disp, _to_u8(r_img), radius=cfg.wmf_radius,
+                n_bins=cfg.max_dis, sigma=cfg.wmf_sigma,
+            )
+    return l_disp, r_disp
+
+
+class StereoGIF:
+    """Object-style wrapper mirroring the reference DispEst engine lifecycle
+    (src/DispEst.cpp:10-50): construct once per image geometry, then call
+    per frame. Owns nothing mutable — it simply binds a config."""
+
+    def __init__(self, cfg: GIFConfig = GIFConfig()):
+        self.cfg = cfg
+
+    def __call__(self, l_img, r_img, **kw):
+        return stereo_gif_forward(l_img, r_img, self.cfg, **kw)

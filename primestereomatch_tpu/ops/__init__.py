@@ -1,0 +1,19 @@
+from primestereomatch_tpu.ops.boxfilter import box_mean, box_sum, window_sum_1d  # noqa: F401
+from primestereomatch_tpu.ops.resize import (  # noqa: F401
+    nearest_indices,
+    resize_nearest,
+    resize_bilinear,
+)
+from primestereomatch_tpu.ops.color import bgr_to_gray_refquirk, sobel_x_k1  # noqa: F401
+from primestereomatch_tpu.ops.cost_volume import build_cost_volumes  # noqa: F401
+from primestereomatch_tpu.ops.guided_filter import (  # noqa: F401
+    fast_guided_filter_color,
+    guided_filter_color,
+)
+from primestereomatch_tpu.ops.wta import wta_disparity  # noqa: F401
+from primestereomatch_tpu.ops.jointwmf import joint_wmf, feature_weight_table  # noqa: F401
+from primestereomatch_tpu.ops.postproc import (  # noqa: F401
+    lr_check,
+    fill_invalid,
+    weighted_median,
+)

@@ -1,0 +1,98 @@
+"""Cost volume construction (CVC): per-disparity color+gradient AD cost.
+
+Reference semantics (CPU float golden path, src/CVC.cpp:18-39,122-179):
+
+  cost(d, y, x) = ALPHA * (|dB| + |dG| + |dR|) + (1-ALPHA) * |dGradX|
+
+  left volume : matches L(y, x) against R(y, x-d);  x < d     -> border cost
+  right volume: matches R(y, x) against L(y, x+d);  x >= W-d  -> border cost
+  border cost : every operand of the other view replaced by BC = 1.0
+                (src/CVC.cpp:30-39)
+
+No TAU clamping and no /3 color normalization on this path (the clamps are
+commented out at src/CVC.cpp:24-25; they exist only in the OpenCL kernel
+assets/cvc.cl:375-393 — exposed here via `tau1`/`tau2` for capability parity).
+
+TPU-first design: the disparity loop is a static unroll of cheap
+slice + fused elementwise ops producing a dense (D, H, W) f32 volume; XLA
+fuses the whole construction into a small number of HBM passes. D, H, W are
+all static. A Pallas variant (kernels/) fuses CVC with the WTA consumer.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _pair_cost(
+    img_a: jax.Array,     # (H, W, 3)
+    img_b: jax.Array,     # (H, W, 3) shifted view
+    grd_a: jax.Array,     # (H, W)
+    grd_b: jax.Array,     # (H, W)
+    alpha: float,
+    tau1: float | None,
+    tau2: float | None,
+) -> jax.Array:
+    clr = jnp.sum(jnp.abs(img_a - img_b), axis=-1)
+    grd = jnp.abs(grd_a - grd_b)
+    if tau1 is not None:
+        clr = jnp.minimum(clr, tau1)
+    if tau2 is not None:
+        grd = jnp.minimum(grd, tau2)
+    return alpha * clr + (1.0 - alpha) * grd
+
+
+def build_cost_volumes(
+    l_img: jax.Array,     # (H, W, 3) float32 in [0,1]
+    r_img: jax.Array,     # (H, W, 3)
+    l_grd: jax.Array,     # (H, W) Sobel-x of gray
+    r_grd: jax.Array,     # (H, W)
+    max_dis: int,
+    alpha: float = 0.9,
+    border_cost: float = 1.0,
+    tau1: float | None = None,
+    tau2: float | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (left_cv, right_cv), each (max_dis, H, W) float32.
+
+    d=0 is built like the reference does (DispEst.cpp:209-218) even though
+    WTA never selects it (DispSel.cpp:96 starts at d=1).
+    """
+    H, W, _ = l_img.shape
+    dt = l_img.dtype
+
+    # Border cost depends only on the local view (other view operands = BC).
+    bc = jnp.asarray(border_cost, dt)
+    l_border = _pair_cost(
+        l_img, jnp.full_like(l_img, bc), l_grd, jnp.full_like(l_grd, bc),
+        alpha, tau1, tau2,
+    )
+    r_border = _pair_cost(
+        r_img, jnp.full_like(r_img, bc), r_grd, jnp.full_like(r_grd, bc),
+        alpha, tau1, tau2,
+    )
+
+    x = jnp.arange(W)[None, :]  # (1, W) broadcast over rows
+
+    # Pad the "other" view so each disparity is a static slice.
+    r_img_p = jnp.pad(r_img, ((0, 0), (max_dis, 0), (0, 0)))
+    r_grd_p = jnp.pad(r_grd, ((0, 0), (max_dis, 0)))
+    l_img_p = jnp.pad(l_img, ((0, 0), (0, max_dis), (0, 0)))
+    l_grd_p = jnp.pad(l_grd, ((0, 0), (0, max_dis)))
+
+    l_slices = []
+    r_slices = []
+    for d in range(max_dis):
+        # left: other view sampled at x-d
+        rb = r_img_p[:, max_dis - d : max_dis - d + W]
+        rgb = r_grd_p[:, max_dis - d : max_dis - d + W]
+        cl = _pair_cost(l_img, rb, l_grd, rgb, alpha, tau1, tau2)
+        l_slices.append(jnp.where(x >= d, cl, l_border))
+        # right: other view sampled at x+d
+        lb = l_img_p[:, d : d + W]
+        lgb = l_grd_p[:, d : d + W]
+        cr = _pair_cost(r_img, lb, r_grd, lgb, alpha, tau1, tau2)
+        r_slices.append(jnp.where(x < W - d, cr, r_border))
+
+    return jnp.stack(l_slices), jnp.stack(r_slices)

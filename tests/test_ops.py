@@ -1,0 +1,176 @@
+"""Per-op equivalence tests against the NumPy/OpenCV oracle of the
+reference C++ semantics (tests/oracle.py)."""
+
+import numpy as np
+import cv2
+import pytest
+import jax.numpy as jnp
+
+from primestereomatch_tpu.ops import (
+    box_mean,
+    resize_nearest,
+    resize_bilinear,
+    bgr_to_gray_refquirk,
+    sobel_x_k1,
+    build_cost_volumes,
+    wta_disparity,
+    fast_guided_filter_color,
+    joint_wmf,
+    lr_check,
+    fill_invalid,
+    weighted_median,
+)
+from primestereomatch_tpu.ops.jointwmf import feature_weight_table
+
+import oracle
+
+
+@pytest.mark.parametrize("k", [3, 5, 8, 9, 17])
+@pytest.mark.parametrize("engine", ["window", "scan"])
+def test_box_mean_matches_cv_blur(rng, k, engine):
+    x = rng.random((37, 53), dtype=np.float32)
+    want = cv2.blur(x, (k, k))
+    got = np.asarray(box_mean(jnp.asarray(x), k, engine=engine))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_box_mean_batched(rng):
+    x = rng.random((4, 31, 29), dtype=np.float32)
+    got = np.asarray(box_mean(jnp.asarray(x), 5))
+    for i in range(4):
+        np.testing.assert_allclose(got[i], cv2.blur(x[i], (5, 5)), rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("shape,s", [((375, 450), 4), ((375, 450), 2),
+                                     ((375, 450), 8), ((370, 463), 4),
+                                     ((33, 47), 3)])
+def test_resize_nearest_matches_cv(rng, shape, s):
+    x = rng.random(shape, dtype=np.float32)
+    h, w = shape[0] // s, shape[1] // s
+    want = cv2.resize(x, (w, h), interpolation=cv2.INTER_NEAREST)
+    got = np.asarray(resize_nearest(jnp.asarray(x), (h, w)))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("lo,hi", [((93, 112), (375, 450)), ((46, 56), (375, 450)),
+                                   ((17, 23), (53, 71))])
+def test_resize_bilinear_matches_cv(rng, lo, hi):
+    x = rng.random(lo, dtype=np.float32)
+    want = cv2.resize(x, (hi[1], hi[0]), interpolation=cv2.INTER_LINEAR)
+    got = np.asarray(resize_bilinear(jnp.asarray(x), hi))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_gray_sobel_matches_reference_preprocess(teddy):
+    img = teddy.left_f32
+    want = oracle.preprocess_grad(img)
+    gray = bgr_to_gray_refquirk(jnp.asarray(img))
+    got = np.asarray(sobel_x_k1(gray))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # reflect-101 zeroes the border gradient
+    assert np.abs(got[:, 0]).max() == 0.0
+    assert np.abs(got[:, -1]).max() == 0.0
+
+
+def test_cost_volumes_match_oracle(rng):
+    H, W, D = 13, 21, 6
+    l_img = rng.random((H, W, 3), dtype=np.float32)
+    r_img = rng.random((H, W, 3), dtype=np.float32)
+    l_grd = rng.random((H, W), dtype=np.float32)
+    r_grd = rng.random((H, W), dtype=np.float32)
+    want_l = oracle.build_cost_volume_left(l_img, r_img, l_grd, r_grd, D)
+    # reference swaps views for the right volume (DispEst.cpp:215-218)
+    want_r = oracle.build_cost_volume_right(r_img, l_img, r_grd, l_grd, D)
+    got_l, got_r = build_cost_volumes(
+        jnp.asarray(l_img), jnp.asarray(r_img),
+        jnp.asarray(l_grd), jnp.asarray(r_grd), D,
+    )
+    np.testing.assert_allclose(np.asarray(got_l), want_l, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got_r), want_r, rtol=1e-6, atol=1e-7)
+
+
+def test_wta_skips_zero_and_ties_low(rng):
+    D, H, W = 8, 5, 7
+    cv_ = np.ones((D, H, W), np.float32)
+    cv_[0] = -100.0          # d=0 must never win
+    cv_[3, 2, 2] = 0.5
+    cv_[5, 2, 2] = 0.5       # tie -> lower d wins
+    got = np.asarray(wta_disparity(jnp.asarray(cv_)))
+    assert got[2, 2] == 3
+    assert (got != 0).all()
+    want = oracle.wta(cv_)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("s", [1, 2, 4, 8])
+def test_fgf_matches_oracle(teddy, s):
+    img = teddy.left_f32[:96, :128]
+    D = 4
+    rng = np.random.default_rng(1)
+    p = rng.random((D, 96, 128), dtype=np.float32)
+    orc = oracle.FGFColorOracle(img, r=8, eps=1e-4, s=s)
+    want = np.stack([orc.filter(p[d]) for d in range(D)])
+    got = np.asarray(fast_guided_filter_color(
+        jnp.asarray(img), jnp.asarray(p), radius=8, eps=1e-4, subsample=s,
+    ))
+    # tolerance: box-sum association order differs from cv2.blur; the
+    # covariance inverse (division by a small determinant) amplifies ulps.
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_joint_wmf_exact_matches_oracle(teddy, rng):
+    guide = teddy.left_bgr[:24, :30]
+    disp = rng.integers(0, 16, size=(24, 30), dtype=np.uint8)
+    want = oracle.joint_wmf_exact_oracle(disp, guide, r=3, n_bins=16)
+    got = np.asarray(joint_wmf(
+        jnp.asarray(disp), jnp.asarray(guide), radius=3, n_bins=16,
+    ))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_joint_wmf_table_matches_oracle(rng):
+    H, W = 22, 26
+    disp = rng.integers(0, 16, size=(H, W), dtype=np.uint8)
+    findex = rng.integers(0, 32, size=(H, W), dtype=np.int32)
+    wmap = feature_weight_table(32, sigma=6.375)
+    want = oracle.joint_wmf_oracle(disp, findex, wmap, r=3, n_bins=16)
+    got = np.asarray(joint_wmf(
+        jnp.asarray(disp), radius=3, n_bins=16,
+        findex=jnp.asarray(findex), wmap=jnp.asarray(wmap),
+    ))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_lr_check_matches_oracle(rng):
+    H, W = 17, 33
+    ld = rng.integers(0, 16, size=(H, W), dtype=np.uint8)
+    rd = rng.integers(0, 16, size=(H, W), dtype=np.uint8)
+    want_l, want_r = oracle.lr_check_oracle(ld, rd)
+    got_l, got_r = lr_check(jnp.asarray(ld), jnp.asarray(rd))
+    np.testing.assert_array_equal(np.asarray(got_l), want_l)
+    np.testing.assert_array_equal(np.asarray(got_r), want_r)
+
+
+def test_fill_invalid_matches_oracle(rng):
+    H, W = 11, 29
+    dis = rng.integers(0, 16, size=(H, W), dtype=np.uint8)
+    valid = (rng.random((H, W)) < 0.6).astype(np.uint8)
+    valid[3] = 0   # a fully-invalid row
+    want = oracle.fill_inv_oracle(dis, valid)
+    got = np.asarray(fill_invalid(jnp.asarray(dis), jnp.asarray(valid)))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("use_sqrt", [False, True])
+def test_weighted_median_matches_oracle(teddy, rng, use_sqrt):
+    H, W = 16, 18
+    img = teddy.left_f32[:H, :W]
+    dis = rng.integers(0, 12, size=(H, W), dtype=np.uint8)
+    valid = (rng.random((H, W)) < 0.5).astype(np.uint8)
+    want = oracle.wgt_median_oracle(img, dis, valid, max_dis=12, med_sz=7,
+                                    use_sqrt=use_sqrt)
+    got = np.asarray(weighted_median(
+        jnp.asarray(img), jnp.asarray(dis), jnp.asarray(valid),
+        max_dis=12, med_sz=7, use_sqrt=use_sqrt,
+    ))
+    np.testing.assert_array_equal(got, want)
