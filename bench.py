@@ -1,0 +1,63 @@
+"""Headline benchmark: STEREO_GIF frames/sec/chip on Middlebury Teddy
+(450x375, maxDis=64) — the reference's default problem size
+(src/StereoMatch.cpp:30, data/Teddy image dims; BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no fps numbers (BASELINE.md); its
+qualitative claim is "real-time", so the baseline denominator is 30 fps —
+the reference's own ZED camera capture rate (src/StereoMatch.cpp:328-331),
+i.e. the rate the original app was built to keep up with.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_FPS = 30.0  # ZED capture spec, src/StereoMatch.cpp:328-331
+WARMUP = 2
+ITERS = 20
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from primestereomatch_tpu.config import GIFConfig
+    from primestereomatch_tpu.models.gif_pipeline import stereo_gif_forward
+    from primestereomatch_tpu.utils.datasets import load_dataset
+
+    sample = load_dataset("Teddy")
+    cfg = GIFConfig()  # max_dis=64, FGF s=4, JointWMF r=9 — reference golden path
+    l_img = jnp.asarray(sample.left_f32)
+    r_img = jnp.asarray(sample.right_f32)
+
+    import numpy as np
+
+    step = jax.jit(lambda a, b: stereo_gif_forward(a, b, cfg))
+    for _ in range(WARMUP):
+        out = step(l_img, r_img)
+        jax.block_until_ready(out)
+        np.asarray(out[0])  # on some remote platforms only a host fetch syncs
+
+    # steady-state throughput: enqueue all iterations, force the last output
+    # (device execution is serialized, so fetching the final result waits for
+    # the whole pipeline; per-fetch RTT is excluded)
+    t0 = time.perf_counter()
+    outs = [step(l_img, r_img) for _ in range(ITERS)]
+    jax.block_until_ready(outs[-1])
+    np.asarray(outs[-1][0])
+    dt = (time.perf_counter() - t0) / ITERS
+
+    fps = 1.0 / dt
+    print(json.dumps({
+        "metric": "stereo_gif_fps_teddy_450x375_d64",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

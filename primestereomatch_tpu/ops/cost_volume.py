@@ -96,3 +96,62 @@ def build_cost_volumes(
         r_slices.append(jnp.where(x < W - d, cr, r_border))
 
     return jnp.stack(l_slices), jnp.stack(r_slices)
+
+
+def build_cost_volume_block(
+    l_img: jax.Array,     # (H, W, 3) float32 in [0,1]
+    r_img: jax.Array,
+    l_grd: jax.Array,     # (H, W)
+    r_grd: jax.Array,
+    d_start: jax.Array,   # scalar int32 — TRACED block offset (mesh axis_index)
+    block: int,           # static block length
+    max_dis: int,         # static global disparity range (>= d_start + block)
+    alpha: float = 0.9,
+    border_cost: float = 1.0,
+    tau1: float | None = None,
+    tau2: float | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Disparity-sharded CVC: builds only disparities [d_start, d_start+block).
+
+    Same numerics as `build_cost_volumes` (reference src/CVC.cpp:122-179),
+    but the block offset is a traced scalar so the SAME compiled SPMD program
+    serves every shard of a disparity-sharded mesh (parallel/sharded.py).
+    The shifted views become `lax.dynamic_slice`s of max_dis-padded planes —
+    still static shapes, still one fused HBM pass per slice.
+    """
+    H, W, _ = l_img.shape
+    dt = l_img.dtype
+    d_start = jnp.asarray(d_start, jnp.int32)
+
+    bc = jnp.asarray(border_cost, dt)
+    l_border = _pair_cost(
+        l_img, jnp.full_like(l_img, bc), l_grd, jnp.full_like(l_grd, bc),
+        alpha, tau1, tau2,
+    )
+    r_border = _pair_cost(
+        r_img, jnp.full_like(r_img, bc), r_grd, jnp.full_like(r_grd, bc),
+        alpha, tau1, tau2,
+    )
+
+    x = jnp.arange(W)[None, :]
+
+    r_img_p = jnp.pad(r_img, ((0, 0), (max_dis, 0), (0, 0)))
+    r_grd_p = jnp.pad(r_grd, ((0, 0), (max_dis, 0)))
+    l_img_p = jnp.pad(l_img, ((0, 0), (0, max_dis), (0, 0)))
+    l_grd_p = jnp.pad(l_grd, ((0, 0), (0, max_dis)))
+
+    l_slices = []
+    r_slices = []
+    for j in range(block):
+        d = d_start + j
+        rb = jax.lax.dynamic_slice(r_img_p, (0, max_dis - d, 0), (H, W, 3))
+        rgb = jax.lax.dynamic_slice(r_grd_p, (0, max_dis - d), (H, W))
+        cl = _pair_cost(l_img, rb, l_grd, rgb, alpha, tau1, tau2)
+        l_slices.append(jnp.where(x >= d, cl, l_border))
+
+        lb = jax.lax.dynamic_slice(l_img_p, (0, d, 0), (H, W, 3))
+        lgb = jax.lax.dynamic_slice(l_grd_p, (0, d), (H, W))
+        cr = _pair_cost(r_img, lb, r_grd, lgb, alpha, tau1, tau2)
+        r_slices.append(jnp.where(x < W - d, cr, r_border))
+
+    return jnp.stack(l_slices), jnp.stack(r_slices)

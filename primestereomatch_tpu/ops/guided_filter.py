@@ -25,7 +25,11 @@ import jax
 import jax.numpy as jnp
 
 from primestereomatch_tpu.ops.boxfilter import box_mean
-from primestereomatch_tpu.ops.resize import resize_nearest, resize_bilinear
+from primestereomatch_tpu.ops.resize import (
+    linear_coeffs,
+    resize_nearest,
+    resize_bilinear,
+)
 
 
 def _color_inverse_cov(ch, k: int, eps: float):
@@ -105,6 +109,119 @@ def fast_guided_filter_color(
         + up(mean_b)
     )
     return q
+
+
+def _upsample_tile(
+    t: jax.Array,          # (D, hl, wl) low-res rows of an EXTENDED tile
+    out_hw: tuple[int, int],
+    s: int,
+    halo: int,             # full-res halo rows on each side of the tile
+    glow: int,             # number of low-res rows in the GLOBAL image
+    is_top: jax.Array,     # traced bool: this tile touches the global top
+    is_bot: jax.Array,     # traced bool: this tile touches the global bottom
+) -> jax.Array:
+    """Bilinear upsample of a row-tile with OpenCV INTER_LINEAR clamping
+    applied at the GLOBAL image borders (not the tile borders).
+
+    The tile's low-res rows sit on the global low-res grid (requires
+    halo % s == 0 and tile offset % s == 0). OpenCV clamps the source
+    coordinate at global rows 0 and glow-1 (ops/resize.py:linear_coeffs);
+    here those rows live at local indices halo/s and hl-1-halo/s for
+    edge tiles, selected with traced edge flags so one SPMD program serves
+    every shard. Columns are globally unsharded -> static coeffs.
+    """
+    D, hl, wl = t.shape
+    He, W = out_hw
+    hs = halo // s
+
+    # rows: traced coeffs (fy is exact in f32 for power-of-two s)
+    Y = jnp.arange(He, dtype=jnp.float32)
+    fy = (Y + 0.5) * (1.0 / s) - 0.5
+    sy = jnp.floor(fy).astype(jnp.int32)
+    fr = fy - sy.astype(jnp.float32)
+    # global top clamp: global source row < 0  <=>  sy < hs
+    top_clamp = is_top & (sy < hs)
+    sy = jnp.where(top_clamp, hs, sy)
+    fr = jnp.where(top_clamp, 0.0, fr)
+    # global bottom clamp: global source row >= glow-1
+    last_local = hl - 1 - hs
+    bot_clamp = is_bot & (sy >= last_local)
+    sy = jnp.where(bot_clamp, last_local, sy)
+    fr = jnp.where(bot_clamp, 0.0, fr)
+    sy = jnp.clip(sy, 0, hl - 1)
+    sy1 = jnp.minimum(sy + 1, hl - 1)
+
+    rows0 = jnp.take(t, sy, axis=1)
+    rows1 = jnp.take(t, sy1, axis=1)
+    ry = rows0 * (1.0 - fr)[None, :, None] + rows1 * fr[None, :, None]
+
+    # columns: static OpenCV coeffs (full global width)
+    xi, xf = linear_coeffs(wl, W)
+    xi = jnp.asarray(xi)
+    xi1 = jnp.minimum(xi + 1, wl - 1)
+    xfj = jnp.asarray(xf)[None, None, :]
+    c0 = ry[..., xi]
+    c1 = ry[..., xi1]
+    return c0 * (1.0 - xfj) + c1 * xfj
+
+
+def fgf_tile_halo(radius: int, subsample: int) -> int:
+    """Full-res halo rows each side needed for an exact FGF on a row tile:
+    two box passes of radius k//2 at low res + 1 low row of bilinear
+    support, rounded up to a multiple of s."""
+    k = 2 * (radius // subsample) + 1
+    return subsample * (2 * (k // 2) + 2)
+
+
+def fast_guided_filter_color_tile(
+    guide_ext: jax.Array,      # (He, W, 3) row tile EXTENDED by halo each side
+    p_ext: jax.Array,          # (D, He, W) cost block on the extended tile
+    radius: int,
+    eps: float,
+    subsample: int,
+    halo: int,                 # = fgf_tile_halo(radius, subsample)
+    global_h: int,             # full (unsharded) image height
+    is_top: jax.Array,         # traced bool flags (see _upsample_tile)
+    is_bot: jax.Array,
+) -> jax.Array:
+    """FGF on one row tile of a y-sharded image; returns the filtered
+    EXTENDED tile (crop rows [halo:halo+tile_h] for the valid interior).
+
+    Exactness argument (vs the unsharded `fast_guided_filter_color`):
+    with tile offset, halo, H and W all multiples of s, the tile's
+    nearest-downsample grid coincides with the global grid; s-row
+    BLOCK-reflect-101 at the global edges (parallel/sharded.py::
+    halo_exchange_rows, block=s) downsamples to exactly the low-res
+    reflect-101 the global box passes would see; and `_upsample_tile`
+    applies the global-border clamp. Interior outputs are therefore
+    identical to the unsharded path (bitwise, for power-of-two s —
+    verified in tests/test_parallel.py).
+    """
+    He, W, _ = guide_ext.shape
+    s = subsample
+    if He % s or W % s or halo % s:
+        raise ValueError(f"tile dims must be multiples of s={s}: {He}x{W}, halo={halo}")
+    h, w = He // s, W // s
+    k = 2 * (radius // subsample) + 1
+
+    ch_full = tuple(guide_ext[..., c] for c in range(3))
+    ch_low = tuple(resize_nearest(c, (h, w)) for c in ch_full)
+    means, inv = _color_inverse_cov(ch_low, k, eps)
+
+    p_low = resize_nearest(p_ext, (h, w))
+    (a_r, a_g, a_b), b = _solve_ab(p_low, ch_low, means, inv, k)
+
+    mean_a = [box_mean(a, k) for a in (a_r, a_g, a_b)]
+    mean_b = box_mean(b, k)
+
+    glow = global_h // s
+    up = lambda t: _upsample_tile(t, (He, W), s, halo, glow, is_top, is_bot)
+    return (
+        up(mean_a[0]) * ch_full[0][None]
+        + up(mean_a[1]) * ch_full[1][None]
+        + up(mean_a[2]) * ch_full[2][None]
+        + up(mean_b)
+    )
 
 
 def guided_filter_color(

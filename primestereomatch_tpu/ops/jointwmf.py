@@ -69,14 +69,25 @@ def joint_wmf(
     sigma: float = 25.5,
     findex: jax.Array | None = None,     # (H, W) int32 feature index ('table')
     wmap: jax.Array | None = None,       # (nF, nF) float32 weight table
+    valid: jax.Array | None = None,      # (H, W) float32 participation weights
 ) -> jax.Array:
-    """Weighted median of `disp` guided by color features. Returns uint8."""
+    """Weighted median of `disp` guided by color features. Returns uint8.
+
+    `valid` marks which pixels contribute to their neighbours' histograms
+    (1.0 = participate). The reference clamps windows at the image border —
+    equivalent to zero weight outside — which is the default (`valid=None`).
+    The sharded tile path (parallel/sharded.py) passes an explicit mask so
+    out-of-image halo rows at global edges are excluded exactly like a
+    clamped window would exclude them.
+    """
     H, W = disp.shape
     r = radius
     win = 2 * r + 1
 
     d_pad = jnp.pad(disp.astype(jnp.int32), r)
-    valid_pad = jnp.pad(jnp.ones((H, W), jnp.float32), r)
+    if valid is None:
+        valid = jnp.ones((H, W), jnp.float32)
+    valid_pad = jnp.pad(valid.astype(jnp.float32), r)
 
     if findex is not None:
         assert wmap is not None, "'table' mode needs both findex and wmap"

@@ -3,10 +3,18 @@ mesh/sharding logic is exercised without TPU hardware (SURVEY.md §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the environment pins a TPU platform (JAX_PLATFORMS=axon,
+# set before interpreter start via sitecustomize): tests exercise mesh logic
+# on 8 virtual devices, not real hardware. The config.update below overrides
+# the env var even though jax was already imported by the boot hook.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
