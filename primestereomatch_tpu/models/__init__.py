@@ -1,1 +1,6 @@
 from primestereomatch_tpu.models.gif_pipeline import StereoGIF, stereo_gif_forward  # noqa: F401
+from primestereomatch_tpu.models.sgbm_pipeline import (  # noqa: F401
+    StereoSGBM,
+    sgbm_display_u8,
+    stereo_sgbm_forward,
+)

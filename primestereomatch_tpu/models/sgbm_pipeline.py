@@ -1,0 +1,84 @@
+"""STEREO_SGBM end-to-end pipeline (second matching algorithm).
+
+Reference integration points: algorithm construction with the fixed
+parameter set (src/StereoMatch.cpp:639-660), per-frame compute + 16x
+fixed-point rescale for display (src/StereoMatch.cpp:169-187), runtime
+toggle from the GIF path (src/main.cpp:160-169).
+
+The whole forward is one jit-compiled integer pipeline:
+prefilter -> BT pixel cost -> 5x5 block sum -> 8-direction scan
+aggregation -> WTA/uniqueness/sub-pixel/LR-check -> speckle filter.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from primestereomatch_tpu.config import SGBMConfig
+from primestereomatch_tpu.ops.sgbm import (
+    DISP_SCALE,
+    aggregate,
+    block_cost,
+    clipped_xderiv,
+    filter_speckles,
+    select_disparity,
+    _bt_cost_1d,
+)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def stereo_sgbm_forward(
+    l_img_u8: jax.Array,       # (H, W, C) uint8 (BGR, as the reference loads)
+    r_img_u8: jax.Array,
+    cfg: SGBMConfig = SGBMConfig(),
+) -> jax.Array:
+    """Returns (H, W) int16 disparity scaled by 16; invalid pixels are
+    (min_disparity - 1) * 16 (the convention src/StereoMatch.cpp:181-186
+    rescales for display)."""
+    if l_img_u8.shape != r_img_u8.shape or l_img_u8.ndim != 3:
+        raise ValueError(
+            f"expected matching (H, W, C) images, got {l_img_u8.shape} vs {r_img_u8.shape}"
+        )
+    l_ftr = clipped_xderiv(l_img_u8, cfg.pre_filter_cap)
+    r_ftr = clipped_xderiv(r_img_u8, cfg.pre_filter_cap)
+
+    pix = _bt_cost_1d(l_ftr, r_ftr, cfg.num_disparities)
+    C = block_cost(pix, cfg.block_size)
+    S = aggregate(C, cfg.p1, cfg.p2, cfg.num_directions)
+    disp16 = select_disparity(
+        S, cfg.uniqueness_ratio, cfg.disp12_max_diff, cfg.min_disparity
+    )
+    if cfg.speckle_window_size > 0:
+        disp16 = filter_speckles(
+            disp16,
+            cfg.speckle_window_size,
+            DISP_SCALE * cfg.speckle_range,
+            (cfg.min_disparity - 1) * DISP_SCALE,
+        )
+    return disp16
+
+
+def sgbm_display_u8(disp16: jax.Array, scale_factor: int, max_dis: int) -> jax.Array:
+    """The reference's display/eval conversion (src/StereoMatch.cpp:181-186):
+    minMaxLoc + convertTo(CV_8U, 255/(max-min)), then /4 (HALF the 16x
+    scale divided by the dataset scale) times scale_factor.
+
+    We reproduce the simpler canonical form used for %BP eval: integer
+    disparity = disp16 / 16 (invalid -> 0), scaled like the GIF maps.
+    """
+    d = jnp.maximum(disp16.astype(jnp.int32), 0) // DISP_SCALE
+    return jnp.clip(d, 0, max_dis - 1).astype(jnp.uint8)
+
+
+class StereoSGBM:
+    """Object wrapper mirroring the reference's persistent cv::StereoSGBM
+    instance (setupOpenCVSGBM, src/StereoMatch.cpp:639-660)."""
+
+    def __init__(self, cfg: SGBMConfig = SGBMConfig()):
+        self.cfg = cfg
+
+    def __call__(self, l_img_u8, r_img_u8):
+        return stereo_sgbm_forward(l_img_u8, r_img_u8, self.cfg)

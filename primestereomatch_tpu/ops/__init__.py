@@ -17,3 +17,11 @@ from primestereomatch_tpu.ops.postproc import (  # noqa: F401
     fill_invalid,
     weighted_median,
 )
+from primestereomatch_tpu.ops.sgbm import (  # noqa: F401
+    DISP_SCALE,
+    aggregate,
+    block_cost,
+    clipped_xderiv,
+    filter_speckles,
+    select_disparity,
+)

@@ -1,0 +1,146 @@
+"""SGBM path: per-stage bit-exact checks vs the NumPy oracle
+(tests/oracle_sgbm.py, the executable spec) + end-to-end quality on
+Middlebury vs ground truth."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import tests.oracle_sgbm as oracle
+from primestereomatch_tpu.config import SGBMConfig
+from primestereomatch_tpu.models.sgbm_pipeline import (
+    StereoSGBM,
+    sgbm_display_u8,
+    stereo_sgbm_forward,
+)
+from primestereomatch_tpu.ops import sgbm as ops
+from primestereomatch_tpu.utils.eval import bad_pixel_metrics
+
+
+@pytest.fixture(scope="module")
+def pair(rng=None):
+    rng = np.random.default_rng(7)
+    H, W = 16, 24
+    l = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+    # right = left shifted by ~3 px + noise
+    r = np.roll(l, -3, axis=1)
+    r = np.clip(r.astype(np.int32) + rng.integers(-6, 7, r.shape), 0, 255).astype(np.uint8)
+    return l, r
+
+
+CAP, D, K, P1, P2 = 63, 8, 5, 24, 96
+
+
+def test_clipped_xderiv(pair):
+    l, _ = pair
+    got = np.asarray(ops.clipped_xderiv(jnp.asarray(l), CAP))
+    want = oracle.clipped_xderiv(l, CAP)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_bt_cost(pair):
+    l, r = pair
+    lf = oracle.clipped_xderiv(l, CAP)
+    rf = oracle.clipped_xderiv(r, CAP)
+    got = np.asarray(ops._bt_cost_1d(jnp.asarray(lf), jnp.asarray(rf), D))
+    want = oracle.bt_cost(lf, rf, D)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_block_cost(pair):
+    l, r = pair
+    pix = oracle.bt_cost(
+        oracle.clipped_xderiv(l, CAP), oracle.clipped_xderiv(r, CAP), D
+    )
+    got = np.asarray(ops.block_cost(jnp.asarray(pix, jnp.int32), K))
+    want = oracle.block_cost(pix, K)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("ndirs", [5, 8])
+def test_aggregate(pair, ndirs):
+    l, r = pair
+    C = oracle.block_cost(
+        oracle.bt_cost(
+            oracle.clipped_xderiv(l, CAP), oracle.clipped_xderiv(r, CAP), D
+        ),
+        K,
+    )
+    got = np.asarray(ops.aggregate(jnp.asarray(C, jnp.int32), P1, P2, ndirs))
+    want = oracle.aggregate(C, P1, P2, ndirs)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_select_disparity(pair):
+    l, r = pair
+    S = oracle.aggregate(
+        oracle.block_cost(
+            oracle.bt_cost(
+                oracle.clipped_xderiv(l, CAP), oracle.clipped_xderiv(r, CAP), D
+            ),
+            K,
+        ),
+        P1, P2, 8,
+    )
+    got = np.asarray(
+        ops.select_disparity(jnp.asarray(S, jnp.int32), 10, 1, 0)
+    )
+    want = oracle.select_disparity(S, 10, 1, 0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_filter_speckles_matches_floodfill():
+    rng = np.random.default_rng(3)
+    H, W = 20, 20
+    inv = -16
+    d = np.full((H, W), inv, np.int16)
+    # a few blobs of various sizes and levels
+    d[2:5, 2:5] = 160          # 9 px blob
+    d[8:18, 3:13] = 320        # 100 px blob
+    d[0, 10:14] = 480          # 4 px line
+    d[10, 10] = 1000           # level jump inside big blob -> splits it
+    noise = rng.integers(0, 2, (H, W)) == 0
+    got = np.asarray(
+        ops.filter_speckles(jnp.asarray(d), 20, 16 * 2, inv)
+    )
+    want = oracle.filter_speckles(d, 20, 16 * 2, inv)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_end_to_end_oracle(pair):
+    l, r = pair
+    cfg = SGBMConfig(
+        num_disparities=D, block_size=K, p1=P1, p2=P2,
+        speckle_window_size=10, speckle_range=2,
+    )
+    got = np.asarray(stereo_sgbm_forward(jnp.asarray(l), jnp.asarray(r), cfg))
+    lf = oracle.clipped_xderiv(l, cfg.pre_filter_cap)
+    rf = oracle.clipped_xderiv(r, cfg.pre_filter_cap)
+    S = oracle.aggregate(
+        oracle.block_cost(oracle.bt_cost(lf, rf, D), K), P1, P2, 8
+    )
+    want = oracle.select_disparity(S, 10, 1, 0)
+    want = oracle.filter_speckles(want, 10, 16 * 2, -16)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_sgbm_quality_teddy(teddy):
+    """End-to-end quality: %BP (nonocc, over valid pixels) on Teddy must be
+    reasonable for a working SGBM (OpenCV-class results are ~6-12%)."""
+    cfg = SGBMConfig()
+    disp16 = stereo_sgbm_forward(
+        jnp.asarray(teddy.left_bgr), jnp.asarray(teddy.right_bgr), cfg
+    )
+    disp = np.asarray(sgbm_display_u8(disp16, teddy.scale_factor, cfg.num_disparities))
+    valid = np.asarray(disp16) >= 0
+    res = bad_pixel_metrics(
+        disp, teddy.gt, teddy.scale_factor, cfg.num_disparities,
+        mask=teddy.mask_nonocc,
+    )
+    # %BP over valid (matched) pixels only
+    err = res.err_map * valid
+    bp_valid = 100.0 * np.count_nonzero(err) / max(valid.sum(), 1)
+    density = valid.mean()
+    assert density > 0.5, f"disparity density too low: {density:.2f}"
+    assert bp_valid < 20.0, f"SGBM %BP(valid,nonocc) too high: {bp_valid:.2f}"
