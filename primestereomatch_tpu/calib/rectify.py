@@ -246,13 +246,26 @@ class Rectifier:
         calib: dict[str, np.ndarray],
         img_size: tuple[int, int],     # (width, height) of one eye
         alpha: float = 1.0,
+        calib_size: tuple[int, int] | None = None,
     ):
         import jax.numpy as jnp
 
+        M1, M2 = calib["M1"], calib["M2"]
+        if calib_size is not None and tuple(calib_size) != tuple(img_size):
+            # the shipped YMLs are HD720-per-eye calibrations; when frames
+            # arrive at a different resolution, rescale the camera matrices
+            # (distortion coefficients act on normalized coords — invariant)
+            sx = img_size[0] / calib_size[0]
+            sy = img_size[1] / calib_size[1]
+            S = np.diag([sx, sy, 1.0])
+            M1 = S @ np.asarray(M1, np.float64)
+            M2 = S @ np.asarray(M2, np.float64)
+
         self.rect = stereo_rectify(
-            calib["M1"], calib["D1"], calib["M2"], calib["D2"],
+            M1, calib["D1"], M2, calib["D2"],
             img_size, calib["R"], calib["T"], alpha=alpha,
         )
+        calib = {**calib, "M1": M1, "M2": M2}
         self.map_l = jnp.asarray(init_undistort_rectify_map(
             calib["M1"], calib["D1"], self.rect.R1, self.rect.P1, img_size
         ))

@@ -1,0 +1,123 @@
+"""Command-line interface — parity with the reference's CLI + HCI keys.
+
+Reference: git-style subcommands `video` (--RECALIBRATE, --RECAPTURE) and
+`image` (-l/-r/-g), required global -a/--alg {STEREO_GIF, STEREO_SGBM}
+(parse_cli, src/StereoMatch.cpp:662-752). The interactive keyboard toggles
+(src/main.cpp:96-195) become flags: --dataset ('d'), --mask ('o'),
+--subsample ('s'), --threshold (trackbar), --timed (monitors).
+
+Headless: mosaics are written as PNGs with --out instead of imshow.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from primestereomatch_tpu.app import AppConfig, StereoMatchApp
+from primestereomatch_tpu.utils.datasets import DATASETS
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="psm-tpu",
+        description="Stereo matching for depth estimation (TPU-native).",
+    )
+    p.add_argument(
+        "-a", "--alg", required=True, choices=["STEREO_GIF", "STEREO_SGBM"],
+        help="The stereo matching algorithm to use.",
+    )
+    p.add_argument("--max-dis", type=int, default=64)
+    p.add_argument("--subsample", type=int, default=4, choices=[1, 2, 4, 8],
+                   help="FGF subsample rate ('s' key in the reference)")
+    p.add_argument("--med-sz", type=int, default=19)
+    p.add_argument("--threshold", type=int, default=4,
+                   help="bad-pixel error threshold (reference trackbar)")
+    p.add_argument("--mask", default="nonocc", choices=["none", "nonocc", "disc"])
+    p.add_argument("--frames", type=int, default=1, help="frames to process")
+    p.add_argument("--timed", action="store_true", help="per-stage timing monitors")
+    p.add_argument("--out", default=None, help="directory for mosaic PNGs")
+
+    sub = p.add_subparsers(dest="command", required=True)
+
+    s_img = sub.add_parser("image", help="Use images as the input source.")
+    s_img.add_argument("-l", "--left", help="Left image filename.")
+    s_img.add_argument("-r", "--right", help="Right image filename.")
+    s_img.add_argument("-g", "--gt", help="Ground truth image filename.")
+    s_img.add_argument("--gt-scale", type=int, default=4)
+    s_img.add_argument("--dataset", default="Cones", choices=sorted(DATASETS),
+                       help="bundled Middlebury dataset (default: Cones)")
+    s_img.add_argument("--all-datasets", action="store_true",
+                       help="evaluate every bundled dataset")
+
+    s_vid = sub.add_parser("video", help="Use video as the input source.")
+    s_vid.add_argument("--source", default="synthetic",
+                       help="'synthetic', a dir of side-by-side frames, or '<dir>:pairs'")
+    s_vid.add_argument("--calib-dir", default=None,
+                       help="directory with intrinsics.yml/extrinsics.yml to rectify")
+    s_vid.add_argument("--calib-size", default="1280x720",
+                       help="native WxH of the calibration files")
+    s_vid.add_argument("--RECALIBRATE", action="store_true",
+                       help="run chessboard calibration before streaming")
+    s_vid.add_argument("--RECAPTURE", action="store_true",
+                       help="(needs a live camera; not available headless)")
+    return p
+
+
+def _run(app: StereoMatchApp, frames: int, out_dir: str | None) -> int:
+    import pathlib
+
+    if out_dir:
+        pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
+    for _ in range(frames):
+        try:
+            res = app.compute()
+        except StopIteration:
+            break
+        print(app.report(res))
+        if out_dir:
+            from primestereomatch_tpu.utils.display import save_png
+
+            save_png(f"{out_dir}/frame_{res.frame_index:04d}.png", app.mosaic(res))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    base = dict(
+        alg=args.alg, max_dis=args.max_dis, subsample=args.subsample,
+        med_sz=args.med_sz, error_threshold=args.threshold,
+        mask_mode=args.mask, timed=args.timed, out_dir=args.out,
+    )
+
+    if args.command == "image":
+        names = sorted(DATASETS) if args.all_datasets else [args.dataset]
+        rc = 0
+        for name in names:
+            cfg = AppConfig(
+                media_mode="image", dataset=name,
+                left=args.left, right=args.right, gt=args.gt,
+                gt_scale=args.gt_scale, **base,
+            )
+            app = StereoMatchApp(cfg)
+            rc |= _run(app, args.frames, args.out)
+        return rc
+
+    if args.RECAPTURE or args.RECALIBRATE:
+        print(
+            "Chessboard capture requires a live camera; headless builds load "
+            "the shipped intrinsics/extrinsics instead (--calib-dir).",
+            file=sys.stderr,
+        )
+        return 1
+    cw, ch = (int(v) for v in args.calib_size.lower().split("x"))
+    cfg = AppConfig(
+        media_mode="video", video_source=args.source,
+        calib_dir=args.calib_dir, calib_size=(cw, ch), **base,
+    )
+    return _run(StereoMatchApp(cfg), args.frames, args.out)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -103,3 +103,74 @@ class StereoGIF:
 
     def __call__(self, l_img, r_img, **kw):
         return stereo_gif_forward(l_img, r_img, self.cfg, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Staged engine: the reference DispEst four-stage API (CostConst /
+# CostFilter / DispSelect / PostProcess, src/DispEst.cpp:199-344) as four
+# independently jitted functions. The fused `stereo_gif_forward` is the
+# fast path; this staged form exists for per-stage timing (the reference's
+# per-frame stage monitors, src/StereoMatch.cpp:209-242) and debugging.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _stage_cvc(l_img, r_img, cfg: GIFConfig):
+    l_grd = sobel_x_k1(bgr_to_gray_refquirk(l_img))
+    r_grd = sobel_x_k1(bgr_to_gray_refquirk(r_img))
+    return build_cost_volumes(
+        l_img, r_img, l_grd, r_grd,
+        max_dis=cfg.max_dis, alpha=cfg.alpha, border_cost=cfg.border_cost,
+        tau1=cfg.tau1, tau2=cfg.tau2,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _stage_cvf(img, cv, cfg: GIFConfig):
+    return fast_guided_filter_color(img, cv, cfg.gif_radius, cfg.gif_eps, cfg.subsample)
+
+
+_stage_wta = jax.jit(wta_disparity)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _stage_pp(disp, img, cfg: GIFConfig):
+    return joint_wmf(
+        disp, _to_u8(img), radius=cfg.wmf_radius,
+        n_bins=cfg.max_dis, sigma=cfg.wmf_sigma,
+    )
+
+
+class DispEst:
+    """Four-stage disparity estimation engine (reference: src/DispEst.cpp).
+
+    cost_const  -> CostConst   (CVC,  src/DispEst.cpp:199)
+    cost_filter -> CostFilter  (CVF/FGF, src/DispEst.cpp:281)
+    disp_select -> DispSelect  (WTA,  src/DispEst.cpp:311)
+    post_process-> PostProcess (JointWMF, src/DispEst.cpp:330)
+    """
+
+    def __init__(self, cfg: GIFConfig = GIFConfig()):
+        self.cfg = cfg
+
+    def cost_const(self, l_img, r_img):
+        return _stage_cvc(l_img, r_img, self.cfg)
+
+    def cost_filter(self, img, cv):
+        return _stage_cvf(img, cv, self.cfg)
+
+    def disp_select(self, cv):
+        return _stage_wta(cv)
+
+    def post_process(self, disp, img):
+        return _stage_pp(disp, img, self.cfg)
+
+    def compute(self, l_img, r_img):
+        """Stage-by-stage forward (same result as stereo_gif_forward)."""
+        lcv, rcv = self.cost_const(l_img, r_img)
+        lcv = self.cost_filter(l_img, lcv)
+        rcv = self.cost_filter(r_img, rcv)
+        l_disp = self.disp_select(lcv)
+        r_disp = self.disp_select(rcv)
+        l_disp = self.post_process(l_disp, l_img)
+        r_disp = self.post_process(r_disp, r_img)
+        return l_disp, r_disp

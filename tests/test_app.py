@@ -1,0 +1,151 @@
+"""Application layer: CLI parsing, frame sources, app orchestration,
+mosaic output. Uses tiny configs so everything compiles fast on CPU."""
+
+import numpy as np
+import pytest
+
+from primestereomatch_tpu.app import AppConfig, StereoMatchApp
+from primestereomatch_tpu.cli import build_parser, main
+from primestereomatch_tpu.utils.display import build_mosaic, disp_to_u8, save_png
+from primestereomatch_tpu.utils.video import (
+    PairFileSource,
+    SideBySideFileSource,
+    SyntheticZEDSource,
+    open_source,
+)
+
+
+def test_cli_parser_matches_reference_surface():
+    p = build_parser()
+    a = p.parse_args(["-a", "STEREO_GIF", "image", "--dataset", "Teddy"])
+    assert a.alg == "STEREO_GIF" and a.command == "image" and a.dataset == "Teddy"
+    a = p.parse_args(["-a", "STEREO_SGBM", "video", "--RECALIBRATE"])
+    assert a.RECALIBRATE and not a.RECAPTURE
+    with pytest.raises(SystemExit):
+        p.parse_args(["image"])  # -a is required, like the reference
+    with pytest.raises(SystemExit):
+        p.parse_args(["-a", "BOGUS", "image"])
+
+
+def test_synthetic_source_geometry():
+    src = SyntheticZEDSource(width=64, height=32, n_frames=3, max_disparity=8)
+    l0, r0 = next(src)
+    assert l0.shape == (32, 64, 3) and l0.dtype == np.uint8
+    assert np.array_equal(l0, r0)  # frame 0: disparity 0
+    l1, r1 = next(src)
+    # frame 1: true disparity 1 -> left pixel x matches right pixel x-1
+    np.testing.assert_array_equal(l1[:, 1:], r1[:, :-1])
+
+
+def test_file_sources(tmp_path, rng):
+    from PIL import Image
+
+    sbs = rng.integers(0, 255, (16, 40, 3), dtype=np.uint8)
+    Image.fromarray(sbs).save(tmp_path / "f0.png")
+    Image.fromarray(sbs).save(tmp_path / "f1.png")
+    src = SideBySideFileSource(str(tmp_path))
+    frames = list(src)
+    assert len(frames) == 2
+    l, r = frames[0]
+    assert l.shape == (16, 20, 3) and r.shape == (16, 20, 3)
+
+    d = tmp_path / "pairs"
+    d.mkdir()
+    Image.fromarray(sbs[:, :20]).save(d / "a_left.png")
+    Image.fromarray(sbs[:, 20:]).save(d / "a_right.png")
+    src = open_source(f"{d}:pairs")
+    l, r = next(src)
+    assert l.shape == r.shape == (16, 20, 3)
+
+
+def test_mosaic_layouts(rng):
+    H, W = 8, 10
+    img = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+    disp = rng.integers(0, 64, (H, W)).astype(np.uint8)
+    m2 = build_mosaic(img, img, disp, disp)
+    assert m2.shape == (2 * H, 2 * W, 3)
+    gt = rng.integers(0, 255, (H, W)).astype(np.uint8)
+    m3 = build_mosaic(img, img, disp, disp, gt=gt, err_map=gt)
+    assert m3.shape == (2 * H, 3 * W, 3)
+    np.testing.assert_array_equal(m3[:H, 2 * W :, 0], gt)
+
+
+def test_disp_to_u8_saturates():
+    d = np.array([[10, 100]], np.uint8)
+    out = disp_to_u8(d, 4)
+    np.testing.assert_array_equal(out, [[40, 255]])
+
+
+@pytest.fixture()
+def small_video_app():
+    return StereoMatchApp(AppConfig(
+        alg="STEREO_SGBM", media_mode="video", video_source="synthetic",
+        max_dis=16, mask_mode="none",
+    ))
+
+
+def test_app_video_sgbm(small_video_app, monkeypatch):
+    # shrink the synthetic stream for speed
+    small_video_app._source = SyntheticZEDSource(
+        width=96, height=48, n_frames=2, max_disparity=8, smoothing=0
+    )
+    r0 = small_video_app.compute()
+    r1 = small_video_app.compute()
+    assert r0.l_disp.shape == (48, 96)
+    assert r1.frame_index == 1
+    assert "total" in r1.times_ms
+    # frame 1 true disparity is 1: the interior should mostly agree
+    interior = r1.l_disp[8:-8, 16:-16]
+    assert np.median(interior) == 1
+
+
+def test_app_image_gif_timed(tmp_path, rng):
+    from PIL import Image
+
+    src = SyntheticZEDSource(width=64, height=32, n_frames=4, max_disparity=8,
+                             smoothing=0)
+    next(src)
+    next(src)
+    l, r = next(src)  # true disparity 2
+    Image.fromarray(l[..., ::-1]).save(tmp_path / "l.png")
+    Image.fromarray(r[..., ::-1]).save(tmp_path / "r.png")
+    app = StereoMatchApp(AppConfig(
+        alg="STEREO_GIF", media_mode="image",
+        left=str(tmp_path / "l.png"), right=str(tmp_path / "r.png"),
+        max_dis=8, med_sz=7, timed=True, mask_mode="none",
+    ))
+    res = app.compute()
+    assert set(res.times_ms) >= {"CVC", "CVF", "DispSel", "PP", "total"}
+    assert np.median(res.l_disp[8:-8, 16:-16]) == 2
+    mosaic = app.mosaic(res)
+    assert mosaic.shape == (64, 128, 3)
+    save_png(str(tmp_path / "m.png"), mosaic)
+    assert (tmp_path / "m.png").exists()
+
+
+def test_app_toggles(small_video_app):
+    app = small_video_app
+    app.set_algorithm("STEREO_GIF")
+    assert app.cfg.alg == "STEREO_GIF"
+    app.set_subsample(2)
+    assert app.gif_cfg.subsample == 2
+    app.set_mask_mode("disc")
+    with pytest.raises(ValueError):
+        app.set_algorithm("NOPE")
+    with pytest.raises(ValueError):
+        app.update_dataset("NotADataset")
+
+
+def test_cli_main_video(capsys):
+    rc = main([
+        "-a", "STEREO_SGBM", "--max-dis", "8", "--frames", "1",
+        "--mask", "none", "video", "--source", "synthetic",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "STEREO_SGBM" in out and "frame 0" in out
+
+
+def test_cli_recalibrate_headless_fails(capsys):
+    rc = main(["-a", "STEREO_GIF", "video", "--RECALIBRATE"])
+    assert rc == 1
