@@ -41,6 +41,10 @@ class GIFConfig:
     #          index, bit-matching the reference featureIndexing+filterCore
     #          contract (include/JointWMF.h:494-660,173-408).
     wmf_mode: str = "exact"
+    # 'auto': fused Pallas kernel on TPU, jnp tensor math elsewhere.
+    # The kernel computes identical weights; only knife-edge median ties
+    # (last-ulp cumulative sums) can differ (kernels/wmf_pallas.py).
+    wmf_impl: str = "auto"       # auto | jnp | pallas
     sig_clr: float = 0.1         # SIG_CLR, include/PP.h:13 (wgtMedian)
     sig_dis: float = 9.0         # SIG_DIS, include/PP.h:14 (wgtMedian)
 

@@ -1,0 +1,197 @@
+"""Pallas TPU kernel: joint weighted-median filter (the PP hot stage).
+
+Same contract as ops/jointwmf.py::joint_wmf (mode 'exact'), which itself
+re-expresses the reference's CVPR'14 sliding joint histogram
+(include/JointWMF.h:173-408) as dense tensor math. The jnp version streams
+a (n_bins, H, W) histogram through HBM on every one of the (2r+1)^2 window
+offsets; this kernel keeps everything resident in VMEM per pixel tile and
+replaces the 64-bin one-hot accumulation with a weighted-median *binary
+search* over the bin axis:
+
+  pass 1: for each window offset, compute the bilateral weight
+          w = exp(-(|dc|^2/(2 sig^2)) ) * valid once, cache (w, d) in VMEM
+          scratch, and accumulate the total weight;
+  pass 2: log2(n_bins) probes: cum(mid) = sum_q w_q [d_q <= mid],
+          classic lower_bound -> smallest bin with cum >= total/2.
+
+Work per pixel drops from O(win^2 * n_bins) to O(win^2 * (1 + log2 n_bins))
+and the histogram tensor never exists. Numerics: identical weights; the
+cumulative sums are accumulated in a different order than the jnp
+histogram+cumsum, so knife-edge median ties can differ in the last float
+ulp (validated to agree on >99.9% of pixels; the library default keeps the
+jnp path on CPU and uses this kernel on TPU — models/gif_pipeline.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_H = 16
+TILE_W = 128
+# extended (haloed) tile dims rounded up to the f32 VMEM tiling (8, 128):
+# HBM->VMEM DMA slice shapes must be tile-aligned
+def _ext_dims(radius: int) -> tuple[int, int]:
+    eh = TILE_H + 2 * radius
+    ew = TILE_W + 2 * radius
+    return (-(-eh // 8) * 8, -(-ew // 128) * 128)
+
+
+def _wmf_kernel(
+    disp_hbm, c6_hbm, valid_hbm, out_ref,
+    dtile, ctile, vtile, dshift, cshift, vshift, wbuf, dbuf, sems,
+    *, radius: int, n_bins: int, inv_two_sig2: float,
+):
+    r = radius
+    win = 2 * r + 1
+    noff = win * win
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    eh, ew = _ext_dims(r)
+    cp_d = pltpu.make_async_copy(
+        disp_hbm.at[pl.ds(i * TILE_H, eh), pl.ds(j * TILE_W, ew)],
+        dtile, sems.at[0],
+    )
+    cp_c = pltpu.make_async_copy(
+        c6_hbm.at[:, pl.ds(i * TILE_H, eh), pl.ds(j * TILE_W, ew)],
+        ctile, sems.at[1],
+    )
+    cp_v = pltpu.make_async_copy(
+        valid_hbm.at[pl.ds(i * TILE_H, eh), pl.ds(j * TILE_W, ew)],
+        vtile, sems.at[2],
+    )
+    cp_d.start()
+    cp_c.start()
+    cp_v.start()
+    cp_d.wait()
+    cp_c.wait()
+    cp_v.wait()
+
+    # hoist the expensive lane (column) shifts out of the window sweep:
+    # one relayout per column offset instead of one per (row, col) offset
+    for ox in range(win):
+        dshift[ox] = dtile[:, ox : ox + TILE_W]
+        vshift[ox] = vtile[:, ox : ox + TILE_W]
+        cshift[ox] = ctile[:, :, ox : ox + TILE_W]
+
+    center = cshift[r][:, r : r + TILE_H, :]                 # (3, TH, TW)
+
+    # pass 1: window sweep; only cheap sublane (row) slices remain inside
+    total = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    for oy in range(win):
+        for ox in range(win):
+            o = oy * win + ox
+            dq = dshift[ox][oy : oy + TILE_H, :]
+            vq = vshift[ox][oy : oy + TILE_H, :]
+            cq = cshift[ox][:, oy : oy + TILE_H, :]
+            diff = center - cq
+            dist2 = diff[0] * diff[0] + diff[1] * diff[1] + diff[2] * diff[2]
+            w = jnp.exp(-dist2 * inv_two_sig2) * vq
+            wbuf[o] = w
+            dbuf[o] = dq
+            total = total + w
+    half = total * 0.5
+
+    # lower_bound over the monotone cum(b): smallest b with cum(b) >= half
+    width = 1
+    while width < n_bins:
+        width *= 2
+    ans = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+    while width > 1:
+        width //= 2
+        mid = (ans + (width - 1))[None]
+
+        # probe in blocks of `win` offsets: fewer loop trips, vector reduce
+        def cum_body(b, acc, mid=mid):
+            wblk = wbuf[pl.ds(b * win, win)]
+            dblk = dbuf[pl.ds(b * win, win)]
+            inc = jnp.where(dblk <= mid, wblk, 0.0)
+            return acc + jnp.sum(inc, axis=0)
+
+        cum = jax.lax.fori_loop(
+            0, win, cum_body, jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        )
+        ans = jnp.where(cum < half, ans + width, ans)
+
+    ans = jnp.clip(ans, 0, n_bins - 1)
+    out_ref[:] = jnp.where(total > 0, ans, 0)
+
+
+def _pad_to(x: jax.Array, h: int, w: int, axes=(0, 1)) -> jax.Array:
+    pads = [(0, 0)] * x.ndim
+    pads[axes[0]] = (0, h - x.shape[axes[0]])
+    pads[axes[1]] = (0, w - x.shape[axes[1]])
+    return jnp.pad(x, pads)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius", "n_bins", "sigma", "interpret")
+)
+def joint_wmf_pallas(
+    disp: jax.Array,                # (H, W) uint8
+    guide_u8: jax.Array,            # (H, W, 3) uint8
+    radius: int = 9,
+    n_bins: int = 64,
+    sigma: float = 25.5,
+    valid: jax.Array | None = None,  # (H, W) float32 participation weights
+    interpret: bool = False,
+) -> jax.Array:
+    """Drop-in accelerated joint_wmf (mode 'exact'). Returns (H, W) uint8."""
+    H, W = disp.shape
+    r = radius
+    hp = pl.cdiv(H, TILE_H) * TILE_H
+    wp = pl.cdiv(W, TILE_W) * TILE_W
+
+    if valid is None:
+        valid = jnp.ones((H, W), jnp.float32)
+    # 6-bit quantization + rescaled sigma (include/JointWMF.h:546,622)
+    c6 = jnp.right_shift(guide_u8.astype(jnp.int32), 2).astype(jnp.float32)
+    c6 = jnp.moveaxis(c6, -1, 0)
+    sig_q = sigma / 256.0 * 64.0
+    inv_two_sig2 = 1.0 / (2.0 * sig_q * sig_q)
+
+    # halo padding folded into one padded layout: out-of-image -> valid 0.
+    # bottom/right padded further so every tile's aligned (eh, ew) DMA
+    # window stays in bounds
+    eh, ew = _ext_dims(r)
+    pad_b = (hp - TILE_H + eh) - (hp + r)
+    pad_r = (wp - TILE_W + ew) - (wp + r)
+    d_pad = jnp.pad(_pad_to(disp.astype(jnp.int32), hp, wp), ((r, pad_b), (r, pad_r)))
+    v_pad = jnp.pad(_pad_to(valid.astype(jnp.float32), hp, wp), ((r, pad_b), (r, pad_r)))
+    c_pad = jnp.pad(_pad_to(c6, hp, wp, axes=(1, 2)), ((0, 0), (r, pad_b), (r, pad_r)))
+
+    kernel = functools.partial(
+        _wmf_kernel, radius=r, n_bins=n_bins, inv_two_sig2=float(inv_two_sig2)
+    )
+    win = 2 * r + 1
+    out = pl.pallas_call(
+        kernel,
+        grid=(hp // TILE_H, wp // TILE_W),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_H, TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM(eh_ew := _ext_dims(r), jnp.int32),
+            pltpu.VMEM((3, *eh_ew), jnp.float32),
+            pltpu.VMEM(eh_ew, jnp.float32),
+            pltpu.VMEM((win, eh_ew[0], TILE_W), jnp.int32),       # dshift
+            pltpu.VMEM((win, 3, eh_ew[0], TILE_W), jnp.float32),  # cshift
+            pltpu.VMEM((win, eh_ew[0], TILE_W), jnp.float32),     # vshift
+            pltpu.VMEM((win * win, TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((win * win, TILE_H, TILE_W), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(d_pad, c_pad, v_pad)
+    return out[:H, :W].astype(jnp.uint8)

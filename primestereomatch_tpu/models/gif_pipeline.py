@@ -33,6 +33,29 @@ def _to_u8(img01: jax.Array) -> jax.Array:
     return jnp.clip(jnp.rint(img01 * 255.0), 0, 255).astype(jnp.uint8)
 
 
+def _use_pallas_wmf(cfg: GIFConfig) -> bool:
+    if cfg.wmf_mode != "exact":
+        return False
+    if cfg.wmf_impl == "pallas":
+        return True
+    return cfg.wmf_impl == "auto" and jax.default_backend() == "tpu"
+
+
+def _wmf_exact(disp: jax.Array, img01: jax.Array, cfg: GIFConfig) -> jax.Array:
+    """JointWMF dispatch: fused Pallas kernel on TPU, jnp elsewhere."""
+    if _use_pallas_wmf(cfg):
+        from primestereomatch_tpu.kernels import joint_wmf_pallas
+
+        return joint_wmf_pallas(
+            disp, _to_u8(img01), radius=cfg.wmf_radius,
+            n_bins=cfg.max_dis, sigma=cfg.wmf_sigma,
+        )
+    return joint_wmf(
+        disp, _to_u8(img01), radius=cfg.wmf_radius,
+        n_bins=cfg.max_dis, sigma=cfg.wmf_sigma,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "run_postprocess"))
 def stereo_gif_forward(
     l_img: jax.Array,              # (H, W, 3) float32 in [0,1], BGR order
@@ -82,14 +105,8 @@ def stereo_gif_forward(
                 sigma=cfg.wmf_sigma, findex=r_findex, wmap=wmap,
             )
         else:
-            l_disp = joint_wmf(
-                l_disp, _to_u8(l_img), radius=cfg.wmf_radius,
-                n_bins=cfg.max_dis, sigma=cfg.wmf_sigma,
-            )
-            r_disp = joint_wmf(
-                r_disp, _to_u8(r_img), radius=cfg.wmf_radius,
-                n_bins=cfg.max_dis, sigma=cfg.wmf_sigma,
-            )
+            l_disp = _wmf_exact(l_disp, l_img, cfg)
+            r_disp = _wmf_exact(r_disp, r_img, cfg)
     return l_disp, r_disp
 
 
@@ -134,10 +151,7 @@ _stage_wta = jax.jit(wta_disparity)
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _stage_pp(disp, img, cfg: GIFConfig):
-    return joint_wmf(
-        disp, _to_u8(img), radius=cfg.wmf_radius,
-        n_bins=cfg.max_dis, sigma=cfg.wmf_sigma,
-    )
+    return _wmf_exact(disp, img, cfg)
 
 
 class DispEst:

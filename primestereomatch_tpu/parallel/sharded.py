@@ -249,8 +249,14 @@ def make_sharded_gif(
         l_g_ext = _to_u8(exz(l_blk))
         r_g_ext = _to_u8(exz(r_blk))
 
+        from primestereomatch_tpu.models.gif_pipeline import _use_pallas_wmf
+
+        if _use_pallas_wmf(cfg):
+            from primestereomatch_tpu.kernels import joint_wmf_pallas as _wmf_fn
+        else:
+            _wmf_fn = joint_wmf
         wmf = functools.partial(
-            joint_wmf, radius=r_wmf, n_bins=cfg.max_dis, sigma=cfg.wmf_sigma,
+            _wmf_fn, radius=r_wmf, n_bins=cfg.max_dis, sigma=cfg.wmf_sigma,
         )
 
         def pp(d_ext, g_ext, v_ext):

@@ -1,0 +1,47 @@
+"""Pallas kernels validated against the jnp ops in interpreter mode
+(compiled-TPU agreement is additionally checked ad hoc on hardware; the
+weight math is identical, only last-ulp cumulative-sum ties may differ)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from primestereomatch_tpu.kernels import joint_wmf_pallas
+from primestereomatch_tpu.ops.jointwmf import joint_wmf
+
+
+@pytest.mark.parametrize("radius,n_bins", [(5, 16), (9, 64), (3, 10)])
+def test_wmf_pallas_matches_jnp(rng, radius, n_bins):
+    H, W = 24, 40
+    disp = jnp.asarray(rng.integers(0, n_bins, (H, W), dtype=np.uint8))
+    guide = jnp.asarray(rng.integers(0, 256, (H, W, 3), dtype=np.uint8))
+    ref = np.asarray(joint_wmf(disp, guide, radius=radius, n_bins=n_bins, sigma=25.5))
+    got = np.asarray(joint_wmf_pallas(
+        disp, guide, radius=radius, n_bins=n_bins, sigma=25.5, interpret=True
+    ))
+    mismatch = (ref != got).mean()
+    assert mismatch <= 1e-3, f"{mismatch:.2%} pixels differ"
+    assert np.abs(ref.astype(int) - got.astype(int)).max() <= 1
+
+
+def test_wmf_pallas_valid_mask(rng):
+    """valid=0 pixels contribute nothing; out-of-image padding stays out."""
+    H, W = 16, 24
+    disp = jnp.asarray(rng.integers(0, 16, (H, W), dtype=np.uint8))
+    guide = jnp.asarray(rng.integers(0, 256, (H, W, 3), dtype=np.uint8))
+    valid = jnp.asarray((rng.random((H, W)) > 0.3).astype(np.float32))
+    ref = np.asarray(joint_wmf(disp, guide, radius=4, n_bins=16, valid=valid))
+    got = np.asarray(joint_wmf_pallas(
+        disp, guide, radius=4, n_bins=16, valid=valid, interpret=True
+    ))
+    assert (ref != got).mean() <= 1e-3
+
+
+def test_wmf_pallas_smooth_region_identity():
+    """On a constant image with constant disparity the median is trivially
+    that disparity everywhere — exact, no ties."""
+    H, W = 16, 130  # crosses a lane-tile boundary
+    disp = jnp.full((H, W), 7, jnp.uint8)
+    guide = jnp.full((H, W, 3), 128, jnp.uint8)
+    got = np.asarray(joint_wmf_pallas(disp, guide, radius=9, n_bins=64, interpret=True))
+    np.testing.assert_array_equal(got, 7)
