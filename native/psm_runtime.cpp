@@ -1,0 +1,339 @@
+// psm_runtime — native host runtime for primestereomatch_tpu.
+//
+// The reference's host runtime is C++ end-to-end: cv::imread media IO, a
+// free-running compute thread decoupled from the UI thread
+// (src/main.cpp:40-73), and monotonic stage timers (include/ComFunc.h:67-71).
+// This library is the TPU-native equivalent of that layer: the decode/IO
+// path that feeds device memory. It provides
+//
+//   * PNG decode (libpng) straight into caller-provided or malloc'd BGR/gray
+//     buffers — no Python imaging stack on the frame path;
+//   * PNG encode for the disparity/mosaic outputs;
+//   * a multithreaded prefetching frame source: worker threads decode the
+//     next frames of a stereo stream into a bounded ring of buffers while
+//     the device crunches the current pair (the reference's capture-thread
+//     pattern, generalized to N decoder threads);
+//   * monotonic microsecond timers (get_rt parity).
+//
+// C ABI throughout: consumed from Python with ctypes (no pybind11 in the
+// image). All functions return 0 on success, negative on error.
+
+#include <png.h>
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <ctime>
+#include <mutex>
+#include <queue>
+#include <string>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+struct PsmImage {
+  uint8_t* data;   // malloc'd; free with psm_free
+  int32_t height;
+  int32_t width;
+  int32_t channels;  // 1 (gray) or 3 (BGR)
+};
+
+int64_t psm_now_us() {
+  timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return int64_t(ts.tv_sec) * 1000000 + ts.tv_nsec / 1000;
+}
+
+void psm_free(void* p) { free(p); }
+
+// ---------------------------------------------------------------------------
+// PNG decode/encode
+// ---------------------------------------------------------------------------
+
+static int decode_png_file(const char* path, int want_channels, PsmImage* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  png_byte header[8];
+  if (fread(header, 1, 8, f) != 8 || png_sig_cmp(header, 0, 8)) {
+    fclose(f);
+    return -2;
+  }
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png_create_info_struct(png);
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    return -3;
+  }
+  png_init_io(png, f);
+  png_set_sig_bytes(png, 8);
+  png_read_info(png, info);
+
+  png_uint_32 w, h;
+  int bit_depth, color_type;
+  png_get_IHDR(png, info, &w, &h, &bit_depth, &color_type, nullptr, nullptr,
+               nullptr);
+
+  if (bit_depth == 16) png_set_strip_16(png);
+  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  png_set_strip_alpha(png);
+  if (want_channels == 3) {
+    if (color_type == PNG_COLOR_TYPE_GRAY ||
+        color_type == PNG_COLOR_TYPE_GRAY_ALPHA)
+      png_set_gray_to_rgb(png);
+    png_set_bgr(png);  // match cv::imread memory order
+  } else {
+    if (color_type == PNG_COLOR_TYPE_RGB || color_type == PNG_COLOR_TYPE_PALETTE ||
+        color_type == PNG_COLOR_TYPE_RGB_ALPHA)
+      // ITU-R 601 weights (0.299 R, 0.587 G), the cv::imread convention
+      png_set_rgb_to_gray_fixed(png, 1, 29900, 58700);
+  }
+  png_read_update_info(png, info);
+
+  size_t stride = size_t(w) * want_channels;
+  uint8_t* buf = static_cast<uint8_t*>(malloc(stride * h));
+  if (!buf) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    return -4;
+  }
+  std::vector<png_bytep> rows(h);
+  for (png_uint_32 y = 0; y < h; y++) rows[y] = buf + y * stride;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  fclose(f);
+
+  out->data = buf;
+  out->height = int32_t(h);
+  out->width = int32_t(w);
+  out->channels = want_channels;
+  return 0;
+}
+
+int psm_imread(const char* path, int want_channels, PsmImage* out) {
+  if (want_channels != 1 && want_channels != 3) return -5;
+  return decode_png_file(path, want_channels, out);
+}
+
+int psm_imwrite_png(const char* path, const uint8_t* data, int height,
+                    int width, int channels, int is_bgr) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  png_structp png =
+      png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png_create_info_struct(png);
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    fclose(f);
+    return -2;
+  }
+  png_init_io(png, f);
+  int ct = channels == 1 ? PNG_COLOR_TYPE_GRAY : PNG_COLOR_TYPE_RGB;
+  png_set_IHDR(png, info, width, height, 8, ct, PNG_INTERLACE_NONE,
+               PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
+  png_write_info(png, info);
+  if (channels == 3 && is_bgr) png_set_bgr(png);
+  std::vector<png_bytep> rows(height);
+  size_t stride = size_t(width) * channels;
+  for (int y = 0; y < height; y++)
+    rows[y] = const_cast<png_bytep>(data + y * stride);
+  png_write_image(png, rows.data());
+  png_write_end(png, nullptr);
+  png_destroy_write_struct(&png, &info);
+  fclose(f);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Prefetching stereo frame source
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Frame {
+  PsmImage left{};
+  PsmImage right{};
+  int64_t index = -1;
+  int status = 0;
+};
+
+struct Source {
+  std::vector<std::string> files;  // side-by-side frames, or left files
+  std::vector<std::string> right_files;  // empty in side-by-side mode
+  bool side_by_side = true;
+  bool loop = false;
+
+  std::mutex mu;
+  std::condition_variable cv_can_produce;
+  std::condition_variable cv_can_consume;
+  std::queue<Frame> ready;
+  size_t depth = 4;
+  std::atomic<int64_t> next_to_decode{0};
+  int64_t next_to_emit = 0;
+  std::vector<Frame> reorder;  // frames decoded out of order
+  std::vector<std::thread> workers;
+  std::atomic<bool> stop{false};
+
+  ~Source() { shutdown(); }
+
+  void shutdown() {
+    stop.store(true);
+    cv_can_produce.notify_all();
+    cv_can_consume.notify_all();
+    for (auto& t : workers)
+      if (t.joinable()) t.join();
+    workers.clear();
+    std::lock_guard<std::mutex> lk(mu);
+    while (!ready.empty()) {
+      free(ready.front().left.data);
+      free(ready.front().right.data);
+      ready.pop();
+    }
+    for (auto& fr : reorder) {
+      free(fr.left.data);
+      free(fr.right.data);
+    }
+    reorder.clear();
+  }
+
+  int64_t total_frames() const {
+    return int64_t(side_by_side ? files.size() : files.size());
+  }
+
+  bool decode_one(int64_t idx, Frame* fr) {
+    int64_t n = total_frames();
+    if (n == 0) return false;
+    int64_t k = loop ? idx % n : idx;
+    if (k >= n) return false;
+    fr->index = idx;
+    if (side_by_side) {
+      PsmImage full{};
+      fr->status = psm_imread(files[size_t(k)].c_str(), 3, &full);
+      if (fr->status == 0) {
+        int we = full.width / 2;
+        size_t stride = size_t(full.width) * 3;
+        size_t half = size_t(we) * 3;
+        auto split = [&](int off, PsmImage* o) {
+          o->height = full.height;
+          o->width = we;
+          o->channels = 3;
+          o->data = static_cast<uint8_t*>(malloc(half * full.height));
+          for (int y = 0; y < full.height; y++)
+            memcpy(o->data + y * half, full.data + y * stride + off * half, half);
+        };
+        split(0, &fr->left);
+        split(1, &fr->right);
+        free(full.data);
+      }
+    } else {
+      fr->status = psm_imread(files[size_t(k)].c_str(), 3, &fr->left);
+      if (fr->status == 0)
+        fr->status = psm_imread(right_files[size_t(k)].c_str(), 3, &fr->right);
+    }
+    return true;
+  }
+
+  void worker() {
+    while (!stop.load()) {
+      int64_t idx = next_to_decode.fetch_add(1);
+      Frame fr;
+      if (!decode_one(idx, &fr)) break;  // end of stream
+      std::unique_lock<std::mutex> lk(mu);
+      cv_can_produce.wait(lk, [&] {
+        return stop.load() || ready.size() + reorder.size() < depth + workers.size();
+      });
+      if (stop.load()) {
+        free(fr.left.data);
+        free(fr.right.data);
+        break;
+      }
+      reorder.push_back(std::move(fr));
+      // drain in-order frames into the ready queue
+      bool emitted = true;
+      while (emitted) {
+        emitted = false;
+        for (size_t i = 0; i < reorder.size(); i++) {
+          if (reorder[i].index == next_to_emit) {
+            ready.push(std::move(reorder[i]));
+            reorder.erase(reorder.begin() + i);
+            next_to_emit++;
+            emitted = true;
+            break;
+          }
+        }
+      }
+      cv_can_consume.notify_all();
+    }
+    std::lock_guard<std::mutex> lk(mu);
+    cv_can_consume.notify_all();
+  }
+};
+
+}  // namespace
+
+void* psm_source_open_sbs(const char** paths, int n, int loop, int threads,
+                          int depth) {
+  auto* s = new Source();
+  for (int i = 0; i < n; i++) s->files.emplace_back(paths[i]);
+  s->side_by_side = true;
+  s->loop = loop != 0;
+  s->depth = size_t(depth > 0 ? depth : 4);
+  int nt = threads > 0 ? threads : 2;
+  for (int i = 0; i < nt; i++) s->workers.emplace_back(&Source::worker, s);
+  return s;
+}
+
+void* psm_source_open_pairs(const char** lefts, const char** rights, int n,
+                            int loop, int threads, int depth) {
+  auto* s = new Source();
+  for (int i = 0; i < n; i++) {
+    s->files.emplace_back(lefts[i]);
+    s->right_files.emplace_back(rights[i]);
+  }
+  s->side_by_side = false;
+  s->loop = loop != 0;
+  s->depth = size_t(depth > 0 ? depth : 4);
+  int nt = threads > 0 ? threads : 2;
+  for (int i = 0; i < nt; i++) s->workers.emplace_back(&Source::worker, s);
+  return s;
+}
+
+// Blocks until the next in-order frame is ready (or end of stream).
+// Returns 0 on success, 1 on end-of-stream, negative on decode error.
+int psm_source_next(void* handle, PsmImage* left, PsmImage* right) {
+  auto* s = static_cast<Source*>(handle);
+  std::unique_lock<std::mutex> lk(s->mu);
+  s->cv_can_consume.wait(lk, [&] {
+    if (!s->ready.empty() || s->stop.load()) return true;
+    // all workers done and nothing queued -> end of stream
+    bool workers_past_end =
+        !s->loop && s->next_to_decode.load() >= s->total_frames() &&
+        s->reorder.empty();
+    return workers_past_end && s->ready.empty() &&
+           s->next_to_emit >= s->total_frames();
+  });
+  if (s->ready.empty()) return 1;  // end of stream
+  Frame fr = std::move(s->ready.front());
+  s->ready.pop();
+  s->cv_can_produce.notify_all();
+  if (fr.status != 0) {
+    free(fr.left.data);
+    free(fr.right.data);
+    return fr.status;
+  }
+  *left = fr.left;
+  *right = fr.right;
+  return 0;
+}
+
+void psm_source_close(void* handle) { delete static_cast<Source*>(handle); }
+
+}  // extern "C"

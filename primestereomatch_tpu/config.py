@@ -45,6 +45,10 @@ class GIFConfig:
     # The kernel computes identical weights; only knife-edge median ties
     # (last-ulp cumulative sums) can differ (kernels/wmf_pallas.py).
     wmf_impl: str = "auto"       # auto | jnp | pallas
+    # coefficient-map upsampling: 'lerp' gather lerp (bit-matches the CPU
+    # golden path), 'mxu' banded-matrix matmuls on the systolic array
+    # (ops/resize.py::resize_bilinear_mxu). 'auto' = mxu on TPU.
+    upsample_impl: str = "auto"  # auto | lerp | mxu
     sig_clr: float = 0.1         # SIG_CLR, include/PP.h:13 (wgtMedian)
     sig_dis: float = 9.0         # SIG_DIS, include/PP.h:14 (wgtMedian)
 

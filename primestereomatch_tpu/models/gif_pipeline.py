@@ -21,8 +21,15 @@ import jax.numpy as jnp
 
 from primestereomatch_tpu.config import GIFConfig
 from primestereomatch_tpu.ops.color import bgr_to_gray_refquirk, sobel_x_k1
-from primestereomatch_tpu.ops.cost_volume import build_cost_volumes
-from primestereomatch_tpu.ops.guided_filter import fast_guided_filter_color
+from primestereomatch_tpu.ops.cost_volume import (
+    build_cost_volumes,
+    build_cost_volumes_sampled,
+)
+from primestereomatch_tpu.ops.guided_filter import (
+    fast_guided_filter_color,
+    fast_guided_filter_color_low,
+)
+from primestereomatch_tpu.ops.resize import nearest_indices
 from primestereomatch_tpu.ops.wta import wta_disparity
 from primestereomatch_tpu.ops.jointwmf import joint_wmf
 
@@ -76,18 +83,32 @@ def stereo_gif_forward(
             f"images must be floating point in [0,1] (got {l_img.dtype}); "
             "scale uint8 inputs by 1/255 first"
         )
-    # --- CVC ---------------------------------------------------------------
+    # --- CVC + CVF (FGF), fused at the subsample grid ----------------------
+    # The FGF consumes the cost volume only at its nearest-downsample grid
+    # (src/fastguidedfilter.cpp:96,132), so the cost is built directly at
+    # the sampled pixels — bitwise-identical to building the full D,H,W
+    # volume and downsampling, at 1/s^2 of the work.
     l_grd = sobel_x_k1(bgr_to_gray_refquirk(l_img))
     r_grd = sobel_x_k1(bgr_to_gray_refquirk(r_img))
-    lcv, rcv = build_cost_volumes(
-        l_img, r_img, l_grd, r_grd,
-        max_dis=cfg.max_dis, alpha=cfg.alpha, border_cost=cfg.border_cost,
+    H, W, _ = l_img.shape
+    s = cfg.subsample
+    yi = nearest_indices(H, H // s)
+    xi = nearest_indices(W, W // s)
+    lcv_low, rcv_low = build_cost_volumes_sampled(
+        l_img, r_img, l_grd, r_grd, cfg.max_dis, yi, xi,
+        alpha=cfg.alpha, border_cost=cfg.border_cost,
         tau1=cfg.tau1, tau2=cfg.tau2,
     )
-
-    # --- CVF (FGF) ---------------------------------------------------------
-    lcv = fast_guided_filter_color(l_img, lcv, cfg.gif_radius, cfg.gif_eps, cfg.subsample)
-    rcv = fast_guided_filter_color(r_img, rcv, cfg.gif_radius, cfg.gif_eps, cfg.subsample)
+    up_impl = cfg.upsample_impl
+    if up_impl == "auto":
+        up_impl = "mxu" if jax.default_backend() == "tpu" else "lerp"
+    fgf = functools.partial(
+        fast_guided_filter_color_low,
+        radius=cfg.gif_radius, eps=cfg.gif_eps, subsample=s,
+        upsample_impl=up_impl,
+    )
+    lcv = fgf(l_img, lcv_low)
+    rcv = fgf(r_img, rcv_low)
 
     # --- WTA ---------------------------------------------------------------
     l_disp = wta_disparity(lcv)

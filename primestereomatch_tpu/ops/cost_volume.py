@@ -98,6 +98,67 @@ def build_cost_volumes(
     return jnp.stack(l_slices), jnp.stack(r_slices)
 
 
+def build_cost_volumes_sampled(
+    l_img: jax.Array,     # (H, W, 3) float32 in [0,1]
+    r_img: jax.Array,
+    l_grd: jax.Array,     # (H, W)
+    r_grd: jax.Array,
+    max_dis: int,
+    yi,                   # (h,) static numpy row sample indices
+    xi,                   # (w,) static numpy column sample indices
+    alpha: float = 0.9,
+    border_cost: float = 1.0,
+    tau1: float | None = None,
+    tau2: float | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Cost volumes evaluated ONLY at the (yi, xi) sample grid — the
+    nearest-downsampled volumes the FastGuidedFilter consumes
+    (src/fastguidedfilter.cpp:96,132 downsample each slice with INTER_NN).
+
+    Bitwise-identical to resize_nearest(build_cost_volumes(...)) but never
+    materializes (or even computes) the full-resolution volume: 1/s^2 of
+    the work, and the sampled shifts are static gathers XLA folds into
+    the fused slice math. Returns ((D, h, w), (D, h, w))."""
+    import numpy as np
+
+    H, W, _ = l_img.shape
+    dt = l_img.dtype
+    yi = np.asarray(yi)
+    xi = np.asarray(xi)
+
+    def pcost(a_img, b_img, a_grd, b_grd):
+        return _pair_cost(a_img, b_img, a_grd, b_grd, alpha, tau1, tau2)
+
+    bc = jnp.asarray(border_cost, dt)
+
+    # rows can be gathered once; columns shift per disparity
+    l_rows = l_img[yi]            # (h, W, 3)
+    r_rows = r_img[yi]
+    lg_rows = l_grd[yi]
+    rg_rows = r_grd[yi]
+
+    l_s = l_rows[:, xi]           # (h, w, 3) sampled left view
+    r_s = r_rows[:, xi]
+    lg_s = lg_rows[:, xi]
+    rg_s = rg_rows[:, xi]
+
+    l_border = pcost(l_s, jnp.full_like(l_s, bc), lg_s, jnp.full_like(lg_s, bc))
+    r_border = pcost(r_s, jnp.full_like(r_s, bc), rg_s, jnp.full_like(rg_s, bc))
+
+    xs = jnp.asarray(xi)[None, :]
+    l_slices = []
+    r_slices = []
+    for d in range(max_dis):
+        xb = np.clip(xi - d, 0, W - 1)      # static per-d column sample
+        cl = pcost(l_s, r_rows[:, xb], lg_s, rg_rows[:, xb])
+        l_slices.append(jnp.where(xs >= d, cl, l_border))
+        xf = np.clip(xi + d, 0, W - 1)
+        cr = pcost(r_s, l_rows[:, xf], rg_s, lg_rows[:, xf])
+        r_slices.append(jnp.where(xs < W - d, cr, r_border))
+
+    return jnp.stack(l_slices), jnp.stack(r_slices)
+
+
 def build_cost_volume_block(
     l_img: jax.Array,     # (H, W, 3) float32 in [0,1]
     r_img: jax.Array,

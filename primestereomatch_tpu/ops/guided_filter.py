@@ -29,6 +29,7 @@ from primestereomatch_tpu.ops.resize import (
     linear_coeffs,
     resize_nearest,
     resize_bilinear,
+    resize_bilinear_mxu,
 )
 
 
@@ -80,6 +81,7 @@ def fast_guided_filter_color(
     radius: int = 8,
     eps: float = 1e-4,
     subsample: int = 4,
+    upsample_impl: str = "lerp",
 ) -> jax.Array:
     """FastGuidedFilter(I, r, eps, s).filter(p) for every slice of p.
 
@@ -89,19 +91,41 @@ def fast_guided_filter_color(
     """
     H, W, _ = guide.shape
     h, w = H // subsample, W // subsample
+    p_low = resize_nearest(p, (h, w))
+    return fast_guided_filter_color_low(
+        guide, p_low, radius, eps, subsample, upsample_impl
+    )
+
+
+def fast_guided_filter_color_low(
+    guide: jax.Array,          # (H, W, 3) float32 full-res guide
+    p_low: jax.Array,          # (D, H//s, W//s) ALREADY-subsampled volume
+    radius: int = 8,
+    eps: float = 1e-4,
+    subsample: int = 4,
+    upsample_impl: str = "lerp",
+) -> jax.Array:
+    """FGF taking the nearest-downsampled volume directly — lets callers
+    (models/gif_pipeline.py) build cost only at the sample grid
+    (ops/cost_volume.py::build_cost_volumes_sampled) so the full-res cost
+    volume never exists. upsample_impl: 'lerp' (gather lerp, bit-matches
+    the CPU golden path) or 'mxu' (banded-matrix matmuls, TPU fast path —
+    see ops/resize.py::resize_bilinear_mxu)."""
+    H, W, _ = guide.shape
+    h, w = p_low.shape[-2:]
     k = 2 * (radius // subsample) + 1
 
     ch_full = tuple(guide[..., c] for c in range(3))
     ch_low = tuple(resize_nearest(c, (h, w)) for c in ch_full)
     means, inv = _color_inverse_cov(ch_low, k, eps)
 
-    p_low = resize_nearest(p, (h, w))
     (a_r, a_g, a_b), b = _solve_ab(p_low, ch_low, means, inv, k)
 
     mean_a = [box_mean(a, k) for a in (a_r, a_g, a_b)]
     mean_b = box_mean(b, k)
 
-    up = lambda t: resize_bilinear(t, (H, W))
+    up_fn = resize_bilinear_mxu if upsample_impl == "mxu" else resize_bilinear
+    up = lambda t: up_fn(t, (H, W))
     q = (
         up(mean_a[0]) * ch_full[0][None]
         + up(mean_a[1]) * ch_full[1][None]

@@ -58,6 +58,38 @@ def resize_nearest(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     return x[..., yi, :][..., :, xi]
 
 
+@functools.lru_cache(maxsize=None)
+def _linear_matrix(src: int, dst: int) -> np.ndarray:
+    """(dst, src) interpolation matrix with the same coefficients as
+    `linear_coeffs` — bilinear resize as a banded matmul."""
+    sx, f = linear_coeffs(src, dst)
+    M = np.zeros((dst, src), np.float32)
+    rows = np.arange(dst)
+    M[rows, sx] += (1.0 - f)
+    M[rows, np.minimum(sx + 1, src - 1)] += f
+    return M
+
+
+def resize_bilinear_mxu(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """INTER_LINEAR resize as two matmuls (rows then columns, same
+    order/coefficients as `resize_bilinear`).
+
+    TPU-first: a static gather per output row/column becomes a banded
+    (dst, src) matrix applied on the MXU — upsampling the guided-filter
+    coefficient maps rides the systolic array instead of gather units.
+    Identical real-arithmetic; float summation adds the matrix's explicit
+    zeros (exact +0.0 terms), so results match `resize_bilinear` except
+    possibly in the last ulp of degenerate cases."""
+    h, w = x.shape[-2], x.shape[-1]
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x
+    My = jnp.asarray(_linear_matrix(h, oh))          # (oh, h)
+    Mx = jnp.asarray(_linear_matrix(w, ow))          # (ow, w)
+    y = jnp.einsum("Yh,...hw->...Yw", My, x, preferred_element_type=jnp.float32)
+    return jnp.einsum("...Yw,Ww->...YW", y, Mx, preferred_element_type=jnp.float32)
+
+
 def resize_bilinear(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     """INTER_LINEAR resize over the last two axes (float data path)."""
     h, w = x.shape[-2], x.shape[-1]

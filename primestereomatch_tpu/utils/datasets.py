@@ -77,7 +77,23 @@ class StereoSample:
         return self.right_bgr.astype(np.float32) * np.float32(1.0 / 255.0)
 
 
+def _native_imread(path: str, channels: int) -> np.ndarray | None:
+    if not path.lower().endswith(".png"):
+        return None
+    try:
+        from primestereomatch_tpu import native
+
+        if native.native_available():
+            return native.imread(path, channels)
+    except Exception:
+        pass
+    return None
+
+
 def _imread_color(path: str) -> np.ndarray:
+    img = _native_imread(path, 3)   # libpng fast path (native/psm_runtime.cpp)
+    if img is not None:
+        return img
     try:
         import cv2
         img = cv2.imread(path, cv2.IMREAD_COLOR)
@@ -91,6 +107,9 @@ def _imread_color(path: str) -> np.ndarray:
 
 
 def _imread_gray(path: str) -> np.ndarray:
+    img = _native_imread(path, 1)
+    if img is not None:
+        return img
     try:
         import cv2
         img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)

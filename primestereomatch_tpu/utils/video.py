@@ -34,6 +34,10 @@ class FrameSource:
 
 
 class SideBySideFileSource(FrameSource):
+    """When the native runtime is available and every frame is a PNG, the
+    libpng decode threads prefetch ahead of the consumer
+    (primestereomatch_tpu/native); otherwise decode synchronously."""
+
     def __init__(self, directory: str, loop: bool = False):
         from primestereomatch_tpu.utils.datasets import _imread_color
 
@@ -46,8 +50,22 @@ class SideBySideFileSource(FrameSource):
             raise FileNotFoundError(f"no frames in {directory}")
         self.loop = loop
         self._i = 0
+        self._native = None
+        if all(p.suffix.lower() == ".png" for p in self.files):
+            try:
+                from primestereomatch_tpu import native
+
+                if native.native_available():
+                    self._native = native.PrefetchSource(
+                        [str(p) for p in self.files],
+                        side_by_side=True, loop=loop,
+                    )
+            except Exception:
+                self._native = None
 
     def __next__(self):
+        if self._native is not None:
+            return next(self._native)
         if self._i >= len(self.files):
             if not self.loop:
                 raise StopIteration

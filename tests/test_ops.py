@@ -174,3 +174,52 @@ def test_weighted_median_matches_oracle(teddy, rng, use_sqrt):
         max_dis=12, med_sz=7, use_sqrt=use_sqrt,
     ))
     np.testing.assert_array_equal(got, want)
+
+
+class TestFeatureIndexing:
+    """'table'-mode WMF clustering (utils/features.py) mirrors the
+    reference featureIndexing contract (include/JointWMF.h:494-660)."""
+
+    def test_few_unique_colors_lossless(self, rng):
+        import jax.numpy as jnp
+        from primestereomatch_tpu.utils.features import feature_index_color
+        from primestereomatch_tpu.ops.jointwmf import joint_wmf
+
+        # guide with <= n_feat unique colors: clustering is exact, so
+        # table mode must reproduce exact mode bitwise
+        palette = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+        pick = rng.integers(0, 8, (32, 40))
+        guide = palette[pick]
+        disp = jnp.asarray(rng.integers(0, 16, (32, 40), dtype=np.uint8))
+        fi, wm = feature_index_color(guide, n_feat=256)
+        out_t = np.asarray(joint_wmf(
+            disp, radius=4, n_bins=16,
+            findex=jnp.asarray(fi), wmap=jnp.asarray(wm),
+        ))
+        out_e = np.asarray(joint_wmf(disp, jnp.asarray(guide), radius=4, n_bins=16))
+        np.testing.assert_array_equal(out_t, out_e)
+
+    def test_clustered_close_to_exact(self, rng, teddy):
+        import jax.numpy as jnp
+        from primestereomatch_tpu.utils.features import feature_index_color
+        from primestereomatch_tpu.ops.jointwmf import joint_wmf
+
+        crop = teddy.left_bgr[100:164, 100:164]
+        fi, wm = feature_index_color(crop, n_feat=256)
+        disp = jnp.asarray(rng.integers(0, 16, (64, 64), dtype=np.uint8))
+        out_t = np.asarray(joint_wmf(
+            disp, radius=5, n_bins=16,
+            findex=jnp.asarray(fi), wmap=jnp.asarray(wm),
+        ))
+        out_e = np.asarray(joint_wmf(disp, jnp.asarray(crop), radius=5, n_bins=16))
+        # clustering is the reference's approximation; most pixels agree
+        assert (out_t != out_e).mean() < 0.15
+
+    def test_gray_weight_ops(self):
+        from primestereomatch_tpu.utils.features import feature_index_gray
+
+        for op in ("exp", "iv1", "iv2", "cos", "jac", "off"):
+            w = feature_index_gray(weight_type=op)
+            assert w.shape == (256, 256)
+            assert np.all(np.isfinite(w))
+            np.testing.assert_allclose(w, w.T)
