@@ -10,3 +10,19 @@ from primestereomatch_tpu.calib.rectify import (  # noqa: F401
     load_stereo_calibration,
     stereo_rectify,
 )
+from primestereomatch_tpu.calib.chessboard import (  # noqa: F401
+    corner_subpix,
+    find_chessboard_corners,
+)
+from primestereomatch_tpu.calib.calibrate import (  # noqa: F401
+    MonoCalibration,
+    StereoCalibration,
+    calibrate_camera,
+    chessboard_object_points,
+    epipolar_rms,
+    stereo_calibrate,
+)
+from primestereomatch_tpu.calib.stereo_calib import (  # noqa: F401
+    StereoCalibResult,
+    calibrate_stereo_from_images,
+)

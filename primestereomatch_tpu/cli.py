@@ -58,9 +58,14 @@ def build_parser() -> argparse.ArgumentParser:
     s_vid.add_argument("--calib-size", default="1280x720",
                        help="native WxH of the calibration files")
     s_vid.add_argument("--RECALIBRATE", action="store_true",
-                       help="run chessboard calibration before streaming")
+                       help="run chessboard calibration before streaming "
+                            "(needs --chessboard-dir with *_left/*_right pairs)")
     s_vid.add_argument("--RECAPTURE", action="store_true",
                        help="(needs a live camera; not available headless)")
+    s_vid.add_argument("--chessboard-dir", default=None,
+                       help="directory of captured chessboard pairs for RECALIBRATE")
+    s_vid.add_argument("--pattern", default="9x6",
+                       help="chessboard inner-corner pattern (reference: 9x6)")
     return p
 
 
@@ -104,13 +109,48 @@ def main(argv: list[str] | None = None) -> int:
             rc |= _run(app, args.frames, args.out)
         return rc
 
-    if args.RECAPTURE or args.RECALIBRATE:
+    if args.RECAPTURE:
         print(
-            "Chessboard capture requires a live camera; headless builds load "
-            "the shipped intrinsics/extrinsics instead (--calib-dir).",
+            "Chessboard capture requires a live camera; save captured pairs "
+            "to a directory and pass --RECALIBRATE --chessboard-dir instead.",
             file=sys.stderr,
         )
         return 1
+    if args.RECALIBRATE:
+        # the reference's calibrateCamera() flow (src/StereoCalib.cpp:364,49),
+        # headless: detect corners in saved pairs, solve, write YMLs
+        if not args.chessboard_dir:
+            print("--RECALIBRATE needs --chessboard-dir", file=sys.stderr)
+            return 1
+        import pathlib
+
+        from primestereomatch_tpu.calib import calibrate_stereo_from_images
+        from primestereomatch_tpu.utils.datasets import _imread_color
+
+        d = pathlib.Path(args.chessboard_dir)
+        lefts = sorted(d.glob("*_left.*"))
+        pairs = [
+            (lp, lp.with_name(lp.name.replace("_left", "_right")))
+            for lp in lefts
+        ]
+        pairs = [(l, r) for l, r in pairs if r.exists()]
+        if not pairs:
+            print(f"no *_left/*_right pairs in {d}", file=sys.stderr)
+            return 1
+        l_imgs = [_imread_color(str(l)) for l, _ in pairs]
+        r_imgs = [_imread_color(str(r)) for _, r in pairs]
+        h, w = l_imgs[0].shape[:2]
+        cols, rows_ = (int(v) for v in args.pattern.lower().split("x"))
+        out_dir = args.calib_dir or str(d / "calib_out")
+        res = calibrate_stereo_from_images(
+            l_imgs, r_imgs, (w, h), pattern_size=(cols, rows_), out_dir=out_dir
+        )
+        print(
+            f"calibrated from {res.n_views_used} pairs | reprojection RMS "
+            f"{res.calib.rms:.3f}px | epipolar RMS {res.epipolar_rms:.3f}px | "
+            f"wrote {res.intrinsics_path}, {res.extrinsics_path}"
+        )
+        args.calib_dir = out_dir
     cw, ch = (int(v) for v in args.calib_size.lower().split("x"))
     cfg = AppConfig(
         media_mode="video", video_source=args.source,

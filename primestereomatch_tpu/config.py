@@ -51,6 +51,10 @@ class GIFConfig:
     upsample_impl: str = "auto"  # auto | lerp | mxu
     sig_clr: float = 0.1         # SIG_CLR, include/PP.h:13 (wgtMedian)
     sig_dis: float = 9.0         # SIG_DIS, include/PP.h:14 (wgtMedian)
+    # The reference ships lrCheck -> fillInv -> wgtMedian commented out
+    # ahead of JointWMF (src/PP.cpp:405-413). True enables that full
+    # toolchain (capability surface; improves occlusion handling).
+    pp_toolchain: bool = False
 
     @property
     def fgf_low_radius(self) -> int:

@@ -173,9 +173,9 @@ def joint_wmf_pallas(
         kernel,
         grid=(hp // TILE_H, wp // TILE_W),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (TILE_H, TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM

@@ -32,6 +32,7 @@ from primestereomatch_tpu.ops.guided_filter import (
 from primestereomatch_tpu.ops.resize import nearest_indices
 from primestereomatch_tpu.ops.wta import wta_disparity
 from primestereomatch_tpu.ops.jointwmf import joint_wmf
+from primestereomatch_tpu.ops.postproc import fill_invalid, lr_check, weighted_median
 
 
 def _to_u8(img01: jax.Array) -> jax.Array:
@@ -114,6 +115,20 @@ def stereo_gif_forward(
     l_disp = wta_disparity(lcv)
     r_disp = wta_disparity(rcv)
 
+    # --- PP ------------------------------------------------------------------
+    if run_postprocess and cfg.pp_toolchain:
+        # the reference's full (shipped-disabled) toolchain, src/PP.cpp:405-413
+        l_valid, r_valid = lr_check(l_disp, r_disp)
+        l_disp = fill_invalid(l_disp, l_valid)
+        r_disp = fill_invalid(r_disp, r_valid)
+        l_disp = weighted_median(
+            l_img, l_disp, l_valid, cfg.max_dis, cfg.med_sz,
+            cfg.sig_clr, cfg.sig_dis, use_sqrt=False,
+        )
+        r_disp = weighted_median(
+            r_img, r_disp, r_valid, cfg.max_dis, cfg.med_sz,
+            cfg.sig_clr, cfg.sig_dis, use_sqrt=True,
+        )
     # --- PP (JointWMF) -------------------------------------------------------
     if run_postprocess:
         if cfg.wmf_mode == "table" and l_findex is not None:
@@ -198,6 +213,29 @@ class DispEst:
 
     def post_process(self, disp, img):
         return _stage_pp(disp, img, self.cfg)
+
+    def dump_cost_volume(self, cv, prefix: str) -> list[str]:
+        """Write every cost slice as a PNG — printCV parity
+        (src/DispEst.cpp:181-194; the reference scales slice values by 255
+        into 8-bit images). Returns the written paths. The reference's
+        sprintf early-return bug is not replicated."""
+        import numpy as np
+
+        paths = []
+        cv_np = np.asarray(cv)
+        for d in range(cv_np.shape[0]):
+            img = np.clip(np.rint(cv_np[d] * 255.0), 0, 255).astype(np.uint8)
+            path = f"{prefix}{d:03d}.png"
+            try:
+                from primestereomatch_tpu import native
+
+                native.imwrite_png(path, img)
+            except Exception:
+                from PIL import Image
+
+                Image.fromarray(img).save(path)
+            paths.append(path)
+        return paths
 
     def compute(self, l_img, r_img):
         """Stage-by-stage forward (same result as stereo_gif_forward)."""

@@ -150,43 +150,90 @@ def _dp_line(costs: jax.Array, p1: int, p2: int, shift: int) -> jax.Array:
     return Ls
 
 
+def _dp_line_stack(costs: jax.Array, p1: int, p2: int, shifts) -> jax.Array:
+    """Several directions sharing one `lax.scan`: costs (T, S, N, D) where
+    S stacks directions whose carries shift laterally by shifts[s] per
+    step. Identical per-direction math to `_dp_line`; batching S into the
+    scan state cuts the number of sequential scan loops (the wall-clock
+    cost of SGBM on TPU is dominated by sequential scan steps, not FLOPs).
+    """
+    T, Sn, N, D = costs.shape
+    p1 = jnp.int32(p1)
+    p2 = jnp.int32(p2)
+
+    def shift_dir(Lp, minLp, sh):
+        if sh == 1:
+            Lp = jnp.concatenate([jnp.zeros_like(Lp[:1]), Lp[:-1]], axis=0)
+            minLp = jnp.concatenate([jnp.zeros_like(minLp[:1]), minLp[:-1]], axis=0)
+        elif sh == -1:
+            Lp = jnp.concatenate([Lp[1:], jnp.zeros_like(Lp[:1])], axis=0)
+            minLp = jnp.concatenate([minLp[1:], jnp.zeros_like(minLp[:1])], axis=0)
+        return Lp, minLp
+
+    def step(carry, c):
+        Lp, minLp = carry  # (S, N, D), (S, N, 1)
+        parts_L = []
+        parts_m = []
+        for si, sh in enumerate(shifts):
+            lp, ml = shift_dir(Lp[si], minLp[si], sh)
+            parts_L.append(lp)
+            parts_m.append(ml)
+        Lp = jnp.stack(parts_L)
+        minLp = jnp.stack(parts_m)
+        d_lo = jnp.concatenate(
+            [jnp.full_like(Lp[..., :1], _BIG), Lp[..., :-1]], axis=-1
+        )
+        d_hi = jnp.concatenate(
+            [Lp[..., 1:], jnp.full_like(Lp[..., :1], _BIG)], axis=-1
+        )
+        best = jnp.minimum(
+            jnp.minimum(Lp, jnp.minimum(d_lo, d_hi) + p1), minLp + p2
+        )
+        L = c + best - minLp
+        return (L, jnp.min(L, axis=-1, keepdims=True)), L
+
+    init = (
+        jnp.zeros((Sn, N, D), jnp.int32),
+        jnp.zeros((Sn, N, 1), jnp.int32),
+    )
+    # unroll: the recurrence depth is fixed, but amortizing the scan loop
+    # overhead over several steps matters more than the op-count here
+    _, Ls = lax.scan(step, init, costs, unroll=8)
+    return Ls  # (T, S, N, D)
+
+
 def aggregate(cost: jax.Array, p1: int, p2: int, num_directions: int = 8) -> jax.Array:
     """Sum the DP aggregation over scan directions.
 
     cost: (H, W, D) int32 window cost. num_directions: 8 (MODE_HH,
     the reference setting src/StereoMatch.cpp:656) aggregates W<->E, N<->S
     and both diagonals both ways; 5 (MODE_SGBM-like) uses the causal set
-    {W->E, N->S, NW->SE, NE->SW} plus E->W.
+    {W->E, E->W, N->S, NW->SE, NE->SW}.
+
+    The 8 directions ride 3 scans: W->E and E->W share one x-scan (the
+    E->W lane consumes the x-flipped volume), and the three downward /
+    three upward directions (straight + both shears) share one y-scan
+    each. Integer arithmetic makes the direction summation order exact.
     """
     H, W, D = cost.shape
-    dirs = []  # (transpose_to_scan, flip_axis, shift)
-
-    cw = jnp.transpose(cost, (1, 0, 2))  # (W, H, D) — x-scans
-
-    def add(vol, flip: bool, shift: int, undo):
-        v = jnp.flip(vol, axis=0) if flip else vol
-        L = _dp_line(v, p1, p2, shift)
-        L = jnp.flip(L, axis=0) if flip else L
-        dirs.append(undo(L))
-
-    tr = lambda L: jnp.transpose(L, (1, 0, 2))
-    ident = lambda L: L
-
-    add(cw, False, 0, tr)            # W -> E
-    add(cw, True, 0, tr)             # E -> W
-    add(cost, False, 0, ident)       # N -> S
-    add(cost, False, 1, ident)       # NW -> SE  (carry shifts +x per row)
-    add(cost, False, -1, ident)      # NE -> SW
-    if num_directions == 8:
-        add(cost, True, 0, ident)    # S -> N
-        add(cost, True, 1, ident)    # SE -> NW (flipped scan, same shear)
-        add(cost, True, -1, ident)   # SW -> NE
-    elif num_directions != 5:
+    if num_directions not in (5, 8):
         raise ValueError(f"num_directions must be 5 or 8, got {num_directions}")
 
-    S = dirs[0]
-    for L in dirs[1:]:
-        S = S + L
+    cw = jnp.transpose(cost, (1, 0, 2))  # (W, H, D) — x-scans
+    x_pair = jnp.stack([cw, jnp.flip(cw, axis=0)], axis=1)  # (W, 2, H, D)
+    Lx = _dp_line_stack(x_pair, p1, p2, (0, 0))
+    S = jnp.transpose(Lx[:, 0], (1, 0, 2))                      # W -> E
+    S = S + jnp.transpose(jnp.flip(Lx[:, 1], axis=0), (1, 0, 2))  # E -> W
+
+    down = jnp.stack([cost, cost, cost], axis=1)            # (H, 3, W, D)
+    Ld = _dp_line_stack(down, p1, p2, (0, 1, -1))
+    S = S + Ld[:, 0] + Ld[:, 1] + Ld[:, 2]                  # N->S, NW->SE, NE->SW
+
+    if num_directions == 8:
+        cf = jnp.flip(cost, axis=0)
+        up = jnp.stack([cf, cf, cf], axis=1)
+        Lu = _dp_line_stack(up, p1, p2, (0, 1, -1))
+        S = S + jnp.flip(Lu[:, 0] + Lu[:, 1] + Lu[:, 2], axis=0)
     return S
 
 
@@ -213,11 +260,14 @@ def select_disparity(
     close_cost = S * (100 - uniqueness_ratio) < s_best[..., None] * 100
     not_unique = jnp.any(far & close_cost, axis=-1)
 
-    # sub-pixel: parabola through (d-1, d, d+1)
-    d_m = jnp.clip(d_best - 1, 0, D - 1)
-    d_p = jnp.clip(d_best + 1, 0, D - 1)
-    s_m = jnp.take_along_axis(S, d_m[..., None], axis=-1)[..., 0]
-    s_p = jnp.take_along_axis(S, d_p[..., None], axis=-1)[..., 0]
+    # sub-pixel: parabola through (d-1, d, d+1).
+    # TPU-first: the neighbour costs come from masked reductions over the
+    # (small) d axis, not per-pixel gathers — gathers serialize on the
+    # scatter/gather unit while a select+reduce is pure VPU work.
+    is_m = d_idx == jnp.clip(d_best - 1, 0, D - 1)[..., None]
+    is_p = d_idx == jnp.clip(d_best + 1, 0, D - 1)[..., None]
+    s_m = jnp.min(jnp.where(is_m, S, _BIG), axis=-1)
+    s_p = jnp.min(jnp.where(is_p, S, _BIG), axis=-1)
     denom = s_m + s_p - 2 * s_best
     interior = (d_best > 0) & (d_best < D - 1) & (denom > 0)
     frac = jnp.where(
@@ -230,17 +280,22 @@ def select_disparity(
     )
     disp16 = (d_best.astype(jnp.int32) + min_disparity) * DISP_SCALE + frac
 
-    # left-right check: right disparity via gathered cost argmin
-    # rd(y, xr) = argmin_d S(y, xr + d, d); xr + d >= W excluded
-    xr = jnp.arange(W)[None, :, None]
-    src_x = jnp.clip(xr + d_idx, 0, W - 1)
-    S_r = jnp.take_along_axis(S, jnp.broadcast_to(src_x, S.shape), axis=1)
-    S_r = jnp.where(xr + d_idx < W, S_r, _BIG)
+    # left-right check: right disparity rd(y, xr) = argmin_d S(y, xr+d, d)
+    # — a diagonal extraction, built from D static column shifts (fused
+    # slice math) instead of a (H, W, D) gather
+    diag = []
+    for d in range(D):
+        sl = S[:, d:, d]
+        diag.append(jnp.pad(sl, ((0, 0), (0, d)), constant_values=_BIG))
+    S_r = jnp.stack(diag, axis=-1)
     rd = jnp.argmin(S_r, axis=-1)                        # (H, W)
 
+    # rd sampled at x - d_best: D static shifts selected by d_best
     x = jnp.arange(W)[None, :]
-    look = jnp.clip(x - d_best, 0, W - 1)
-    rd_at = jnp.take_along_axis(rd, look, axis=1)
+    rd_at = jnp.zeros_like(rd)
+    for d in range(D):
+        rd_shift = jnp.pad(rd[:, : W - d], ((0, 0), (d, 0)))  # rd[x - d]
+        rd_at = jnp.where(d_best == d, rd_shift, rd_at)
     lr_bad = (jnp.abs(rd_at - d_best) > disp12_max_diff) & (x - d_best >= 0)
     lr_bad = lr_bad | ((x - d_best < 0) & (d_best > 0))
 
