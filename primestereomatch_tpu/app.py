@@ -261,6 +261,53 @@ class StereoMatchApp:
             frame_index=self.frame_index - 1,
         )
 
+    def stream(self, frames: int):
+        """Pipelined frame iterator: dispatch frame n+1 to the device while
+        frame n's results transfer back — the reference's free-running
+        compute-thread pattern (src/main.cpp:40-73) realized with async
+        device dispatch + the native prefetching decoder. GIF-only fast
+        path; falls back to compute() otherwise. Yields FrameResult."""
+        if self.cfg.alg != "STEREO_GIF" or self.cfg.timed:
+            for _ in range(frames):
+                yield self.compute()
+            return
+
+        jnp = self._jnp
+        state = {"exhausted": False, "submitted": 0}
+
+        def dispatch():
+            if state["exhausted"] or state["submitted"] >= frames:
+                return None
+            try:
+                l_bgr, r_bgr = self._capture()
+            except StopIteration:
+                state["exhausted"] = True
+                return None
+            l_f = jnp.asarray(l_bgr.astype(np.float32) * np.float32(1 / 255.0))
+            r_f = jnp.asarray(r_bgr.astype(np.float32) * np.float32(1 / 255.0))
+            t0 = time.perf_counter()
+            ld, rd = self._gif_forward(l_f, r_f, self.gif_cfg)
+            state["submitted"] += 1
+            idx = self.frame_index
+            self.frame_index += 1
+            return (ld, rd, l_bgr, r_bgr, t0, idx)
+
+        pending = dispatch()
+        emitted = 0
+        while pending is not None and emitted < frames:
+            nxt = dispatch()  # next frame in flight before fetching this one
+            ld, rd, l_bgr, r_bgr, t0, idx = pending
+            l_disp = self._fetch(ld)
+            r_disp = self._fetch(rd)
+            dt = (time.perf_counter() - t0) * 1e3
+            yield FrameResult(
+                l_disp=l_disp, r_disp=r_disp,
+                left_bgr=l_bgr, right_bgr=r_bgr,
+                times_ms={"total": dt}, metrics=None, frame_index=idx,
+            )
+            emitted += 1
+            pending = nxt
+
     # -- output --------------------------------------------------------------
 
     def mosaic(self, res: FrameResult) -> np.ndarray:

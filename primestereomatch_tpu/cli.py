@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mask", default="nonocc", choices=["none", "nonocc", "disc"])
     p.add_argument("--frames", type=int, default=1, help="frames to process")
     p.add_argument("--timed", action="store_true", help="per-stage timing monitors")
+    p.add_argument("--pipeline", action="store_true",
+                   help="double-buffered streaming: overlap decode/dispatch "
+                        "with device compute (video throughput mode)")
     p.add_argument("--out", default=None, help="directory for mosaic PNGs")
 
     sub = p.add_subparsers(dest="command", required=True)
@@ -69,21 +72,30 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _run(app: StereoMatchApp, frames: int, out_dir: str | None) -> int:
+def _run(app: StereoMatchApp, frames: int, out_dir: str | None,
+         pipeline: bool = False) -> int:
     import pathlib
 
     if out_dir:
         pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
-    for _ in range(frames):
-        try:
-            res = app.compute()
-        except StopIteration:
-            break
+
+    def emit(res):
         print(app.report(res))
         if out_dir:
             from primestereomatch_tpu.utils.display import save_png
 
             save_png(f"{out_dir}/frame_{res.frame_index:04d}.png", app.mosaic(res))
+
+    if pipeline:
+        for res in app.stream(frames):
+            emit(res)
+        return 0
+    for _ in range(frames):
+        try:
+            res = app.compute()
+        except StopIteration:
+            break
+        emit(res)
     return 0
 
 
@@ -106,7 +118,7 @@ def main(argv: list[str] | None = None) -> int:
                 gt_scale=args.gt_scale, **base,
             )
             app = StereoMatchApp(cfg)
-            rc |= _run(app, args.frames, args.out)
+            rc |= _run(app, args.frames, args.out, args.pipeline)
         return rc
 
     if args.RECAPTURE:
@@ -156,7 +168,7 @@ def main(argv: list[str] | None = None) -> int:
         media_mode="video", video_source=args.source,
         calib_dir=args.calib_dir, calib_size=(cw, ch), **base,
     )
-    return _run(StereoMatchApp(cfg), args.frames, args.out)
+    return _run(StereoMatchApp(cfg), args.frames, args.out, args.pipeline)
 
 
 if __name__ == "__main__":

@@ -49,20 +49,21 @@ def _wmf_kernel(
     r = radius
     win = 2 * r + 1
     noff = win * win
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
 
     eh, ew = _ext_dims(r)
     cp_d = pltpu.make_async_copy(
-        disp_hbm.at[pl.ds(i * TILE_H, eh), pl.ds(j * TILE_W, ew)],
+        disp_hbm.at[b, pl.ds(i * TILE_H, eh), pl.ds(j * TILE_W, ew)],
         dtile, sems.at[0],
     )
     cp_c = pltpu.make_async_copy(
-        c6_hbm.at[:, pl.ds(i * TILE_H, eh), pl.ds(j * TILE_W, ew)],
+        c6_hbm.at[b, :, pl.ds(i * TILE_H, eh), pl.ds(j * TILE_W, ew)],
         ctile, sems.at[1],
     )
     cp_v = pltpu.make_async_copy(
-        valid_hbm.at[pl.ds(i * TILE_H, eh), pl.ds(j * TILE_W, ew)],
+        valid_hbm.at[b, pl.ds(i * TILE_H, eh), pl.ds(j * TILE_W, ew)],
         vtile, sems.at[2],
     )
     cp_d.start()
@@ -119,7 +120,7 @@ def _wmf_kernel(
         ans = jnp.where(cum < half, ans + width, ans)
 
     ans = jnp.clip(ans, 0, n_bins - 1)
-    out_ref[:] = jnp.where(total > 0, ans, 0)
+    out_ref[0] = jnp.where(total > 0, ans, 0)
 
 
 def _pad_to(x: jax.Array, h: int, w: int, axes=(0, 1)) -> jax.Array:
@@ -127,6 +128,77 @@ def _pad_to(x: jax.Array, h: int, w: int, axes=(0, 1)) -> jax.Array:
     pads[axes[0]] = (0, h - x.shape[axes[0]])
     pads[axes[1]] = (0, w - x.shape[axes[1]])
     return jnp.pad(x, pads)
+
+
+def _wmf_pallas_batched(
+    disp: jax.Array,     # (B, H, W) any int dtype
+    guide_u8: jax.Array, # (B, H, W, 3) uint8
+    valid: jax.Array,    # (B, H, W) float32
+    radius: int, n_bins: int, sigma: float, interpret: bool,
+) -> jax.Array:
+    """(B, H, W) batched kernel launch: batch is the leading grid dim, so
+    jax.vmap of the public API lowers to ONE pallas_call."""
+    B, H, W = disp.shape
+    r = radius
+    hp = pl.cdiv(H, TILE_H) * TILE_H
+    wp = pl.cdiv(W, TILE_W) * TILE_W
+
+    # 6-bit quantization + rescaled sigma (include/JointWMF.h:546,622)
+    c6 = jnp.right_shift(guide_u8.astype(jnp.int32), 2).astype(jnp.float32)
+    c6 = jnp.moveaxis(c6, -1, 1)                    # (B, 3, H, W)
+    sig_q = sigma / 256.0 * 64.0
+    inv_two_sig2 = 1.0 / (2.0 * sig_q * sig_q)
+
+    # halo padding folded into one padded layout: out-of-image -> valid 0.
+    # bottom/right padded further so every tile's aligned (eh, ew) DMA
+    # window stays in bounds
+    eh, ew = _ext_dims(r)
+    pad_b = (hp - TILE_H + eh) - (hp + r)
+    pad_r = (wp - TILE_W + ew) - (wp + r)
+    d_pad = jnp.pad(
+        _pad_to(disp.astype(jnp.int32), hp, wp, axes=(1, 2)),
+        ((0, 0), (r, pad_b), (r, pad_r)),
+    )
+    v_pad = jnp.pad(
+        _pad_to(valid.astype(jnp.float32), hp, wp, axes=(1, 2)),
+        ((0, 0), (r, pad_b), (r, pad_r)),
+    )
+    c_pad = jnp.pad(
+        _pad_to(c6, hp, wp, axes=(2, 3)),
+        ((0, 0), (0, 0), (r, pad_b), (r, pad_r)),
+    )
+
+    kernel = functools.partial(
+        _wmf_kernel, radius=r, n_bins=n_bins, inv_two_sig2=float(inv_two_sig2)
+    )
+    win = 2 * r + 1
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, hp // TILE_H, wp // TILE_W),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TILE_H, TILE_W), lambda b, i, j: (b, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, hp, wp), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM(eh_ew := _ext_dims(r), jnp.int32),
+            pltpu.VMEM((3, *eh_ew), jnp.float32),
+            pltpu.VMEM(eh_ew, jnp.float32),
+            pltpu.VMEM((win, eh_ew[0], TILE_W), jnp.int32),       # dshift
+            pltpu.VMEM((win, 3, eh_ew[0], TILE_W), jnp.float32),  # cshift
+            pltpu.VMEM((win, eh_ew[0], TILE_W), jnp.float32),     # vshift
+            pltpu.VMEM((win * win, TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((win * win, TILE_H, TILE_W), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(d_pad, c_pad, v_pad)
+    return out[:, :H, :W].astype(jnp.uint8)
 
 
 @functools.partial(
@@ -141,57 +213,31 @@ def joint_wmf_pallas(
     valid: jax.Array | None = None,  # (H, W) float32 participation weights
     interpret: bool = False,
 ) -> jax.Array:
-    """Drop-in accelerated joint_wmf (mode 'exact'). Returns (H, W) uint8."""
-    H, W = disp.shape
-    r = radius
-    hp = pl.cdiv(H, TILE_H) * TILE_H
-    wp = pl.cdiv(W, TILE_W) * TILE_W
+    """Drop-in accelerated joint_wmf (mode 'exact'). Returns (H, W) uint8.
 
+    vmap-able: a custom batching rule maps the whole batch onto one
+    pallas_call with batch as the leading grid dimension."""
+    H, W = disp.shape
     if valid is None:
         valid = jnp.ones((H, W), jnp.float32)
-    # 6-bit quantization + rescaled sigma (include/JointWMF.h:546,622)
-    c6 = jnp.right_shift(guide_u8.astype(jnp.int32), 2).astype(jnp.float32)
-    c6 = jnp.moveaxis(c6, -1, 0)
-    sig_q = sigma / 256.0 * 64.0
-    inv_two_sig2 = 1.0 / (2.0 * sig_q * sig_q)
 
-    # halo padding folded into one padded layout: out-of-image -> valid 0.
-    # bottom/right padded further so every tile's aligned (eh, ew) DMA
-    # window stays in bounds
-    eh, ew = _ext_dims(r)
-    pad_b = (hp - TILE_H + eh) - (hp + r)
-    pad_r = (wp - TILE_W + ew) - (wp + r)
-    d_pad = jnp.pad(_pad_to(disp.astype(jnp.int32), hp, wp), ((r, pad_b), (r, pad_r)))
-    v_pad = jnp.pad(_pad_to(valid.astype(jnp.float32), hp, wp), ((r, pad_b), (r, pad_r)))
-    c_pad = jnp.pad(_pad_to(c6, hp, wp, axes=(1, 2)), ((0, 0), (r, pad_b), (r, pad_r)))
+    @jax.custom_batching.custom_vmap
+    def run(d, g, v):
+        return _wmf_pallas_batched(
+            d[None], g[None], v[None], radius, n_bins, sigma, interpret
+        )[0]
 
-    kernel = functools.partial(
-        _wmf_kernel, radius=r, n_bins=n_bins, inv_two_sig2=float(inv_two_sig2)
-    )
-    win = 2 * r + 1
-    out = pl.pallas_call(
-        kernel,
-        grid=(hp // TILE_H, wp // TILE_W),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (TILE_H, TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM(eh_ew := _ext_dims(r), jnp.int32),
-            pltpu.VMEM((3, *eh_ew), jnp.float32),
-            pltpu.VMEM(eh_ew, jnp.float32),
-            pltpu.VMEM((win, eh_ew[0], TILE_W), jnp.int32),       # dshift
-            pltpu.VMEM((win, 3, eh_ew[0], TILE_W), jnp.float32),  # cshift
-            pltpu.VMEM((win, eh_ew[0], TILE_W), jnp.float32),     # vshift
-            pltpu.VMEM((win * win, TILE_H, TILE_W), jnp.float32),
-            pltpu.VMEM((win * win, TILE_H, TILE_W), jnp.int32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
-        interpret=interpret,
-    )(d_pad, c_pad, v_pad)
-    return out[:H, :W].astype(jnp.uint8)
+    @run.def_vmap
+    def _run_vmap(axis_size, in_batched, d, g, v):  # noqa: ANN001
+        db, gb, vb = in_batched
+
+        def bcast(x, batched):
+            return x if batched else jnp.broadcast_to(x, (axis_size, *x.shape))
+
+        out = _wmf_pallas_batched(
+            bcast(d, db), bcast(g, gb), bcast(v, vb),
+            radius, n_bins, sigma, interpret,
+        )
+        return out, True
+
+    return run(disp, guide_u8, valid)

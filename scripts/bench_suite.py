@@ -1,0 +1,106 @@
+"""Benchmark suite over the BASELINE.json config axes (single chip).
+
+Configs: Middlebury 450x375/d64 (GIF + SGBM), HD720 1280x720/d128,
+2K 2208x1242/d256, and batched throughput. Prints one JSON line per
+config and writes BENCH_SUITE.json. bench.py remains the driver's
+single-line headline metric.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def _force(x):
+    return np.asarray(jax.tree_util.tree_leaves(x)[0].reshape(-1)[:1])
+
+
+def bench(fn, args, iters=10, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    _force(out)
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(iters)]
+    _force(outs[-1])
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    global jax
+    import jax
+    import jax.numpy as jnp
+
+    from primestereomatch_tpu.config import GIFConfig, SGBMConfig
+    from primestereomatch_tpu.models.gif_pipeline import stereo_gif_forward
+    from primestereomatch_tpu.models.sgbm_pipeline import stereo_sgbm_forward
+    from primestereomatch_tpu.utils.datasets import load_dataset
+
+    rng = np.random.default_rng(0)
+    results = []
+
+    def record(name, seconds, unit="frames/sec/chip", scale=1.0):
+        fps = scale / seconds
+        row = {"config": name, "value": round(fps, 3), "unit": unit,
+               "ms_per_frame": round(seconds * 1e3 / scale, 3)}
+        results.append(row)
+        print(json.dumps(row))
+
+    teddy = load_dataset("Teddy")
+    l64 = jnp.asarray(teddy.left_f32)
+    r64 = jnp.asarray(teddy.right_f32)
+
+    # 1. golden: Teddy GIF d=64
+    cfg = GIFConfig()
+    f = jax.jit(lambda a, b: stereo_gif_forward(a, b, cfg))
+    record("gif_teddy_450x375_d64", bench(f, (l64, r64), iters=20))
+
+    # 2. Teddy SGBM d=64
+    lu = jnp.asarray(teddy.left_bgr)
+    ru = jnp.asarray(teddy.right_bgr)
+    fs = jax.jit(lambda a, b: stereo_sgbm_forward(a, b, SGBMConfig()))
+    record("sgbm_teddy_450x375_d64", bench(fs, (lu, ru), iters=10))
+
+    # 3. HD720 GIF d=128
+    try:
+        lh = jnp.asarray(rng.random((720, 1280, 3), dtype=np.float32))
+        rh = jnp.asarray(rng.random((720, 1280, 3), dtype=np.float32))
+        cfg128 = GIFConfig(max_dis=128)
+        fh = jax.jit(lambda a, b: stereo_gif_forward(a, b, cfg128))
+        record("gif_hd720_1280x720_d128", bench(fh, (lh, rh), iters=5))
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"config": "gif_hd720_1280x720_d128", "error": str(e)[:200]}))
+
+    # 4. 2K GIF d=256 (BASELINE 30fps target is for a v4-16 slice; this is
+    #    the single-chip number)
+    try:
+        l2k = jnp.asarray(rng.random((1242, 2208, 3), dtype=np.float32))
+        r2k = jnp.asarray(rng.random((1242, 2208, 3), dtype=np.float32))
+        cfg256 = GIFConfig(max_dis=256)
+        f2k = jax.jit(lambda a, b: stereo_gif_forward(a, b, cfg256))
+        record("gif_2k_2208x1242_d256", bench(f2k, (l2k, r2k), iters=3))
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"config": "gif_2k_2208x1242_d256", "error": str(e)[:200]}))
+
+    # 5. batched throughput: 8 Teddy frames per dispatch
+    try:
+        B = 8
+        lb = jnp.broadcast_to(l64, (B, *l64.shape))
+        rb = jnp.broadcast_to(r64, (B, *r64.shape))
+        fb = jax.jit(jax.vmap(lambda a, b: stereo_gif_forward(a, b, cfg)))
+        record("gif_teddy_batch8", bench(fb, (lb, rb), iters=5), scale=B)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"config": "gif_teddy_batch8", "error": str(e)[:200]}))
+
+    with open("BENCH_SUITE.json", "w") as fjson:
+        json.dump(results, fjson, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -149,3 +149,20 @@ def test_cli_main_video(capsys):
 def test_cli_recalibrate_headless_fails(capsys):
     rc = main(["-a", "STEREO_GIF", "video", "--RECALIBRATE"])
     assert rc == 1
+
+
+def test_app_stream_pipelined():
+    app = StereoMatchApp(AppConfig(
+        alg="STEREO_GIF", media_mode="video", video_source="synthetic",
+        max_dis=8, med_sz=7, mask_mode="none",
+    ))
+    app._source = SyntheticZEDSource(
+        width=64, height=32, n_frames=5, max_disparity=8, smoothing=0
+    )
+    results = list(app.stream(4))
+    assert [r.frame_index for r in results] == [0, 1, 2, 3]
+    # frame 2's true disparity is 2
+    assert np.median(results[2].l_disp[8:-8, 16:-16]) == 2
+    # stream drains correctly when the source runs out
+    results = list(app.stream(10))
+    assert len(results) == 1  # only frame 4 was left

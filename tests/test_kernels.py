@@ -45,3 +45,19 @@ def test_wmf_pallas_smooth_region_identity():
     guide = jnp.full((H, W, 3), 128, jnp.uint8)
     got = np.asarray(joint_wmf_pallas(disp, guide, radius=9, n_bins=64, interpret=True))
     np.testing.assert_array_equal(got, 7)
+
+
+def test_wmf_pallas_vmap(rng):
+    """jax.vmap over the kernel lowers to one batched pallas_call."""
+    import jax
+
+    B, H, W = 3, 16, 24
+    disp = jnp.asarray(rng.integers(0, 16, (B, H, W), dtype=np.uint8))
+    guide = jnp.asarray(rng.integers(0, 256, (B, H, W, 3), dtype=np.uint8))
+    f = jax.vmap(lambda d, g: joint_wmf_pallas(
+        d, g, radius=4, n_bins=16, interpret=True
+    ))
+    got = np.asarray(f(disp, guide))
+    for b in range(B):
+        ref = np.asarray(joint_wmf(disp[b], guide[b], radius=4, n_bins=16))
+        assert (got[b] != ref).mean() <= 1e-3
