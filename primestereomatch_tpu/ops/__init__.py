@@ -25,3 +25,8 @@ from primestereomatch_tpu.ops.sgbm import (  # noqa: F401
     filter_speckles,
     select_disparity,
 )
+from primestereomatch_tpu.ops.depth import (  # noqa: F401
+    disparity_to_depth,
+    reproject_disparity,
+)
+from primestereomatch_tpu.ops.remap import remap_bilinear  # noqa: F401

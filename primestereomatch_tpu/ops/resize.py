@@ -86,8 +86,16 @@ def resize_bilinear_mxu(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
         return x
     My = jnp.asarray(_linear_matrix(h, oh))          # (oh, h)
     Mx = jnp.asarray(_linear_matrix(w, ow))          # (ow, w)
-    y = jnp.einsum("Yh,...hw->...Yw", My, x, preferred_element_type=jnp.float32)
-    return jnp.einsum("...Yw,Ww->...YW", y, Mx, preferred_element_type=jnp.float32)
+    # order by MAC count: expanding rows first costs oh*h*w + oh*w*ow,
+    # columns first h*w*ow + oh*h*ow — do the cheaper expansion first
+    # (~30% fewer FLOPs when the aspect ratio is wide)
+    rows_first = oh * h * w + oh * w * ow
+    cols_first = h * w * ow + oh * h * ow
+    if rows_first <= cols_first:
+        y = jnp.einsum("Yh,...hw->...Yw", My, x, preferred_element_type=jnp.float32)
+        return jnp.einsum("...Yw,Ww->...YW", y, Mx, preferred_element_type=jnp.float32)
+    y = jnp.einsum("...hw,Ww->...hW", x, Mx, preferred_element_type=jnp.float32)
+    return jnp.einsum("Yh,...hW->...YW", My, y, preferred_element_type=jnp.float32)
 
 
 def resize_bilinear(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:

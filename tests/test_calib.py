@@ -143,3 +143,31 @@ def test_rectifier_end_to_end(calib, rng):
     assert lr.shape == (y1 - y0, x1 - x0, 3)
     assert lr.dtype == jnp.uint8
     assert 0 < x0 < x1 <= w and 0 <= y0 < y1 <= h
+
+
+def test_reproject_disparity_geometry(calib):
+    """A point reprojected with Q must match triangulation: Z = f*B/d."""
+    import jax.numpy as jnp
+
+    from primestereomatch_tpu.ops.depth import disparity_to_depth, reproject_disparity
+    from primestereomatch_tpu.calib import stereo_rectify
+
+    rect = stereo_rectify(
+        calib["M1"], calib["D1"], calib["M2"], calib["D2"],
+        IMG_SIZE, calib["R"], calib["T"], alpha=1.0,
+    )
+    Q = rect.Q
+    f = Q[2, 3]
+    baseline = abs(1.0 / Q[3, 2])  # |Tx|; Q[3,2] = -1/Tx with Tx < 0 here
+    disp = jnp.full((10, 12), 16.0, jnp.float32)
+    depth = np.asarray(disparity_to_depth(disp, Q))
+    np.testing.assert_allclose(depth, f * baseline / 16.0, rtol=1e-5)
+
+    pts = np.asarray(reproject_disparity(disp, Q))
+    np.testing.assert_allclose(pts[..., 2], depth, rtol=1e-5)
+    # X increases along image x, Y along image y (pinhole geometry)
+    assert np.all(np.diff(pts[0, :, 0]) > 0)
+    assert np.all(np.diff(pts[:, 0, 1]) > 0)
+    # invalid disparity -> zeros
+    z = np.asarray(reproject_disparity(jnp.zeros((4, 4), jnp.float32), Q))
+    np.testing.assert_array_equal(z, 0.0)
