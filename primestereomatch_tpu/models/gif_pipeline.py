@@ -28,6 +28,8 @@ from primestereomatch_tpu.ops.cost_volume import (
 from primestereomatch_tpu.ops.guided_filter import (
     fast_guided_filter_color,
     fast_guided_filter_color_low,
+    fgf_low_maps,
+    fgf_wta_low_maps,
 )
 from primestereomatch_tpu.ops.resize import nearest_indices
 from primestereomatch_tpu.ops.wta import wta_disparity
@@ -103,17 +105,27 @@ def stereo_gif_forward(
     up_impl = cfg.upsample_impl
     if up_impl == "auto":
         up_impl = "mxu" if jax.default_backend() == "tpu" else "lerp"
-    fgf = functools.partial(
-        fast_guided_filter_color_low,
-        radius=cfg.gif_radius, eps=cfg.gif_eps, subsample=s,
-        upsample_impl=up_impl,
-    )
-    lcv = fgf(l_img, lcv_low)
-    rcv = fgf(r_img, rcv_low)
 
-    # --- WTA ---------------------------------------------------------------
-    l_disp = wta_disparity(lcv)
-    r_disp = wta_disparity(rcv)
+    # --- CVF + WTA, fused over disparity chunks ----------------------------
+    # the filtered full-res volume is reduced to its argmin on the fly
+    # (ops/guided_filter.py::fgf_wta_low_maps) — at 2K/d=256 it would
+    # otherwise cost 4 x 2.8 GB of HBM per view
+    low = functools.partial(
+        fgf_low_maps, radius=cfg.gif_radius, eps=cfg.gif_eps, subsample=s
+    )
+    ma_l, mb_l = low(l_img, lcv_low)
+    ma_r, mb_r = low(r_img, rcv_low)
+    # single chunk (the fully-unrolled fast path) while the upsampled
+    # tensors stay small; chunk to bound memory at big sizes (2K/d=256
+    # would need 4 x 2.8 GB per view otherwise)
+    full_bytes = 4 * cfg.max_dis * H * W * 4
+    d_chunk = cfg.max_dis if full_bytes <= (1 << 30) else min(16, cfg.max_dis)
+    wta = functools.partial(
+        fgf_wta_low_maps, out_hw=(H, W),
+        d_chunk=d_chunk, upsample_impl=up_impl,
+    )
+    l_disp = wta(l_img, ma_l, mb_l)
+    r_disp = wta(r_img, ma_r, mb_r)
 
     # --- PP ------------------------------------------------------------------
     if run_postprocess and cfg.pp_toolchain:

@@ -148,6 +148,7 @@ def build_cost_volumes_sampled(
     xs = jnp.asarray(xi)[None, :]
     l_slices = []
     r_slices = []
+
     for d in range(max_dis):
         xb = np.clip(xi - d, 0, W - 1)      # static per-d column sample
         cl = pcost(l_s, r_rows[:, xb], lg_s, rg_rows[:, xb])

@@ -97,6 +97,28 @@ def fast_guided_filter_color(
     )
 
 
+def fgf_low_maps(
+    guide: jax.Array,          # (H, W, 3) float32 full-res guide
+    p_low: jax.Array,          # (D, H//s, W//s) subsampled cost volume
+    radius: int = 8,
+    eps: float = 1e-4,
+    subsample: int = 4,
+):
+    """Low-resolution half of the FastGuidedFilter: guide statistics +
+    per-slice (a, b) solve + box averaging. Returns (mean_a 3-tuple,
+    mean_b), each (D, h, w) — the inputs to the upsample/apply step
+    (`fast_guided_filter_color_low`) or the fused WTA (`fgf_wta_low_maps`)."""
+    h, w = p_low.shape[-2:]
+    k = 2 * (radius // subsample) + 1
+    ch_low = tuple(
+        resize_nearest(guide[..., c], (h, w)) for c in range(3)
+    )
+    means, inv = _color_inverse_cov(ch_low, k, eps)
+    (a_r, a_g, a_b), b = _solve_ab(p_low, ch_low, means, inv, k)
+    mean_a = tuple(box_mean(a, k) for a in (a_r, a_g, a_b))
+    return mean_a, box_mean(b, k)
+
+
 def fast_guided_filter_color_low(
     guide: jax.Array,          # (H, W, 3) float32 full-res guide
     p_low: jax.Array,          # (D, H//s, W//s) ALREADY-subsampled volume
@@ -112,24 +134,13 @@ def fast_guided_filter_color_low(
     the CPU golden path) or 'mxu' (banded-matrix matmuls, TPU fast path —
     see ops/resize.py::resize_bilinear_mxu)."""
     H, W, _ = guide.shape
-    h, w = p_low.shape[-2:]
-    k = 2 * (radius // subsample) + 1
-
-    ch_full = tuple(guide[..., c] for c in range(3))
-    ch_low = tuple(resize_nearest(c, (h, w)) for c in ch_full)
-    means, inv = _color_inverse_cov(ch_low, k, eps)
-
-    (a_r, a_g, a_b), b = _solve_ab(p_low, ch_low, means, inv, k)
-
-    mean_a = [box_mean(a, k) for a in (a_r, a_g, a_b)]
-    mean_b = box_mean(b, k)
-
+    mean_a, mean_b = fgf_low_maps(guide, p_low, radius, eps, subsample)
     up_fn = resize_bilinear_mxu if upsample_impl == "mxu" else resize_bilinear
     up = lambda t: up_fn(t, (H, W))
     q = (
-        up(mean_a[0]) * ch_full[0][None]
-        + up(mean_a[1]) * ch_full[1][None]
-        + up(mean_a[2]) * ch_full[2][None]
+        up(mean_a[0]) * guide[..., 0][None]
+        + up(mean_a[1]) * guide[..., 1][None]
+        + up(mean_a[2]) * guide[..., 2][None]
         + up(mean_b)
     )
     return q
@@ -246,6 +257,74 @@ def fast_guided_filter_color_tile(
         + up(mean_a[2]) * ch_full[2][None]
         + up(mean_b)
     )
+
+
+def fgf_wta_low_maps(
+    guide: jax.Array,          # (H, W, 3) full-res guide
+    mean_a: tuple,             # 3 x (D, h, w) box-averaged a maps
+    mean_b: jax.Array,         # (D, h, w)
+    out_hw: tuple[int, int],
+    d_chunk: int = 16,
+    upsample_impl: str = "lerp",
+) -> jax.Array:
+    """Fused upsample + WTA: evaluate q = up(mean_a)*I + up(mean_b) in
+    d-chunks and fold a running (min, argmin) — the filtered full-res
+    volume never materializes (at 2K/d=256 it would be 4x 2.8 GB).
+
+    Same numerics as upsampling every slice then `wta_disparity`
+    (first-minimum tie rule, disparity 0 excluded). Returns (H, W) uint8.
+    """
+    H, W = out_hw
+    stack = jnp.stack([*mean_a, mean_b], axis=0)   # (4, D, h, w)
+    D = stack.shape[1]
+    if D % d_chunk:
+        d_chunk = D
+    n_chunks = D // d_chunk
+
+    up_fn0 = resize_bilinear_mxu if upsample_impl == "mxu" else resize_bilinear
+    if n_chunks == 1:
+        # fully unrolled fast path (small sizes): per-map upsamples fuse
+        # better than one stacked call, no scan machinery
+        up = lambda t: up_fn0(t, (H, W))
+        q = (
+            up(mean_a[0]) * guide[..., 0][None]
+            + up(mean_a[1]) * guide[..., 1][None]
+            + up(mean_a[2]) * guide[..., 2][None]
+            + up(mean_b)
+        )
+        return (jnp.argmin(q[1:], axis=0) + 1).astype(jnp.uint8)
+    chunks = stack.reshape(4, n_chunks, d_chunk, *stack.shape[2:])
+    chunks = jnp.moveaxis(chunks, 1, 0)            # (n_chunks, 4, dc, h, w)
+
+    ch = tuple(guide[..., c] for c in range(3))
+    up_fn = resize_bilinear_mxu if upsample_impl == "mxu" else resize_bilinear
+    inf = jnp.float32(jnp.inf)
+
+    def body(carry, blk):
+        best, arg, d0 = carry
+        up = up_fn(blk, (H, W))                    # (4, dc, H, W)
+        q = (
+            up[0] * ch[0][None]
+            + up[1] * ch[1][None]
+            + up[2] * ch[2][None]
+            + up[3]
+        )
+        d_glob = d0 + jnp.arange(d_chunk, dtype=jnp.int32)
+        q = jnp.where((d_glob == 0)[:, None, None], inf, q)  # d=0 never wins
+        c_min = jnp.min(q, axis=0)
+        c_arg = d0 + jnp.argmin(q, axis=0).astype(jnp.int32)
+        take = c_min < best                        # strict: earlier d wins ties
+        best = jnp.where(take, c_min, best)
+        arg = jnp.where(take, c_arg, arg)
+        return (best, arg, d0 + d_chunk), None
+
+    init = (
+        jnp.full((H, W), inf, jnp.float32),
+        jnp.zeros((H, W), jnp.int32),
+        jnp.int32(0),
+    )
+    (best, arg, _), _ = jax.lax.scan(body, init, chunks)
+    return arg.astype(jnp.uint8)
 
 
 def guided_filter_color(

@@ -61,3 +61,21 @@ def test_wmf_pallas_vmap(rng):
     for b in range(B):
         ref = np.asarray(joint_wmf(disp[b], guide[b], radius=4, n_bins=16))
         assert (got[b] != ref).mean() <= 1e-3
+
+
+def test_fgf_wta_pallas_matches_reference(rng):
+    """Fused upsample+WTA kernel == chunked XLA reference (lerp), exact."""
+    from primestereomatch_tpu.kernels.wta_pallas import fgf_wta_pallas
+    from primestereomatch_tpu.ops.guided_filter import fgf_low_maps, fgf_wta_low_maps
+
+    H, W, D = 48, 200, 16
+    guide = jnp.asarray(rng.random((H, W, 3), dtype=np.float32))
+    p_low = jnp.asarray(rng.random((D, H // 4, W // 4), dtype=np.float32))
+    ma, mb = fgf_low_maps(guide, p_low, 8, 1e-4, 4)
+    ref = np.asarray(fgf_wta_low_maps(
+        guide, ma, mb, (H, W), d_chunk=8, upsample_impl="lerp"
+    ))
+    got = np.asarray(fgf_wta_pallas(
+        guide, *ma, mb, (H, W), d_chunk=8, interpret=True
+    ))
+    np.testing.assert_array_equal(got, ref)
