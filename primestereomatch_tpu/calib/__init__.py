@@ -26,3 +26,8 @@ from primestereomatch_tpu.calib.stereo_calib import (  # noqa: F401
     StereoCalibResult,
     calibrate_stereo_from_images,
 )
+from primestereomatch_tpu.calib.uncalibrated import (  # noqa: F401
+    fundamental_8point,
+    rectify_rotations_from_homographies,
+    stereo_rectify_uncalibrated,
+)

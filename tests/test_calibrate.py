@@ -203,3 +203,43 @@ def test_cli_recalibrate_end_to_end(tmp_path, views):
         calib["R"], calib["T"],
     )
     np.testing.assert_allclose(rect.P1[:, :3], rect.P2[:, :3], atol=1e-6)
+
+
+def test_hartley_uncalibrated_rectification(views):
+    """8-point F + Hartley homographies on synthetic correspondences:
+    epipolar constraint holds and rectified rows align."""
+    from primestereomatch_tpu.calib.uncalibrated import (
+        fundamental_8point,
+        stereo_rectify_uncalibrated,
+    )
+
+    R_TRUE = rodrigues(np.array([0.01, 0.03, 0.005]))
+    T_TRUE = np.array([-2.0, 0.05, 0.1])
+    obj = chessboard_object_points(PATTERN)
+    p1, p2 = [], []
+    for _, _, rv, tv in views:
+        p1.append(_project(obj, rv, tv, K_TRUE, D_ZERO))
+        R2 = R_TRUE @ rodrigues(rv)
+        t2 = R_TRUE @ tv + T_TRUE
+        p2.append(_project(obj, rodrigues(R2), t2, K_TRUE, D_ZERO))
+    p1 = np.concatenate(p1)
+    p2 = np.concatenate(p2)
+
+    F = fundamental_8point(p1, p2)
+    ph1 = np.hstack([p1, np.ones((len(p1), 1))])
+    ph2 = np.hstack([p2, np.ones((len(p2), 1))])
+    resid = np.abs(np.sum(ph2 * (ph1 @ F.T), axis=1))
+    lines = ph1 @ F.T
+    dist = resid / np.hypot(lines[:, 0], lines[:, 1])
+    assert dist.mean() < 0.05, f"epipolar residual {dist.mean():.4f}px"
+
+    H1, H2 = stereo_rectify_uncalibrated(p1, p2, F, IMG)
+
+    def apply(H, p):
+        ph = np.hstack([p, np.ones((len(p), 1))]) @ H.T
+        return ph[:, :2] / ph[:, 2:3]
+
+    r1 = apply(H1, p1)
+    r2 = apply(H2, p2)
+    rows_err = np.abs(r1[:, 1] - r2[:, 1])
+    assert rows_err.mean() < 1.0, f"row misalignment {rows_err.mean():.3f}px"
