@@ -160,6 +160,91 @@ def build_cost_volumes_sampled(
     return jnp.stack(l_slices), jnp.stack(r_slices)
 
 
+def build_cost_volume_block_sampled(
+    l_img: jax.Array,     # (H, W, 3) float32 (a row tile, possibly extended)
+    r_img: jax.Array,
+    l_grd: jax.Array,
+    r_grd: jax.Array,
+    d_start: jax.Array,   # scalar int32 — TRACED block offset
+    block: int,
+    max_dis: int,
+    yi,                   # (h,) static row sample indices (tile-local)
+    xi,                   # (w,) static column sample indices (global x grid)
+    alpha: float = 0.9,
+    border_cost: float = 1.0,
+    tau1: float | None = None,
+    tau2: float | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Disparity-sharded CVC evaluated only at the FGF sample grid — the
+    sharded-pipeline analog of `build_cost_volumes_sampled` (the fast
+    single-chip path): the traced block offset becomes a dynamic slice of
+    max_dis-padded sampled-row planes, the static xi gather happens once.
+    Bitwise == resize_nearest(build_cost_volume_block(...))."""
+    import numpy as np
+
+    H, W, _ = l_img.shape
+    dt = l_img.dtype
+    yi = np.asarray(yi)
+    xi = np.asarray(xi)
+    w_low = len(xi)
+    d_start = jnp.asarray(d_start, jnp.int32)
+
+    def pcost(a_img, b_img, a_grd, b_grd):
+        return _pair_cost(a_img, b_img, a_grd, b_grd, alpha, tau1, tau2)
+
+    bc = jnp.asarray(border_cost, dt)
+    l_rows = l_img[yi]
+    r_rows = r_img[yi]
+    lg_rows = l_grd[yi]
+    rg_rows = r_grd[yi]
+    l_s = l_rows[:, xi]
+    r_s = r_rows[:, xi]
+    lg_s = lg_rows[:, xi]
+    rg_s = rg_rows[:, xi]
+
+    l_border = pcost(l_s, jnp.full_like(l_s, bc), lg_s, jnp.full_like(lg_s, bc))
+    r_border = pcost(r_s, jnp.full_like(r_s, bc), rg_s, jnp.full_like(rg_s, bc))
+
+    # pre-gather every sampled column at every possible shift once:
+    # plane[k] = rows[:, clip(xi - max_dis + k)] for k in [0, 2*max_dis]
+    # -> disparity d starts at k = max_dis - d (left) / max_dis + d (right)
+    h = len(yi)
+
+    def shift_planes(rows):
+        cols = []
+        for k in range(2 * max_dis + 1):
+            idx = np.clip(xi - max_dis + k, 0, W - 1)
+            cols.append(rows[:, idx])
+        return jnp.stack(cols, axis=0)      # (2*max_dis+1, h, w[, 3])
+
+    r_pl = shift_planes(r_rows)
+    rg_pl = shift_planes(rg_rows)
+    l_pl = shift_planes(l_rows)
+    lg_pl = shift_planes(lg_rows)
+
+    xs = jnp.asarray(xi)[None, :]
+    l_slices = []
+    r_slices = []
+    for jblk in range(block):
+        d = d_start + jblk
+        args_l = [
+            jax.lax.dynamic_slice(p, (max_dis - d, 0, 0) + ((0,) if p.ndim == 4 else ()),
+                                  (1, h, w_low) + ((3,) if p.ndim == 4 else ()))[0]
+            for p in (r_pl, rg_pl)
+        ]
+        cl = pcost(l_s, args_l[0], lg_s, args_l[1])
+        l_slices.append(jnp.where(xs >= d, cl, l_border))
+        args_r = [
+            jax.lax.dynamic_slice(p, (max_dis + d, 0, 0) + ((0,) if p.ndim == 4 else ()),
+                                  (1, h, w_low) + ((3,) if p.ndim == 4 else ()))[0]
+            for p in (l_pl, lg_pl)
+        ]
+        cr = pcost(r_s, args_r[0], rg_s, args_r[1])
+        r_slices.append(jnp.where(xs < W - d, cr, r_border))
+
+    return jnp.stack(l_slices), jnp.stack(r_slices)
+
+
 def build_cost_volume_block(
     l_img: jax.Array,     # (H, W, 3) float32 in [0,1]
     r_img: jax.Array,

@@ -232,6 +232,29 @@ def fast_guided_filter_color_tile(
     identical to the unsharded path (bitwise, for power-of-two s —
     verified in tests/test_parallel.py).
     """
+    h, w = p_ext.shape[-2] // subsample, p_ext.shape[-1] // subsample
+    p_low = resize_nearest(p_ext, (h, w))
+    return fast_guided_filter_color_tile_low(
+        guide_ext, p_low, radius, eps, subsample, halo, global_h,
+        is_top, is_bot,
+    )
+
+
+def fast_guided_filter_color_tile_low(
+    guide_ext: jax.Array,      # (He, W, 3) extended row tile
+    p_low: jax.Array,          # (D, He//s, W//s) cost block at the sample grid
+    radius: int,
+    eps: float,
+    subsample: int,
+    halo: int,
+    global_h: int,
+    is_top: jax.Array,
+    is_bot: jax.Array,
+) -> jax.Array:
+    """Tile FGF taking the ALREADY-subsampled cost block (the sharded
+    analog of `fast_guided_filter_color_low` — pairs with
+    ops/cost_volume.py::build_cost_volume_block_sampled so the sharded
+    pipeline never builds full-resolution cost tiles either)."""
     He, W, _ = guide_ext.shape
     s = subsample
     if He % s or W % s or halo % s:
@@ -243,7 +266,6 @@ def fast_guided_filter_color_tile(
     ch_low = tuple(resize_nearest(c, (h, w)) for c in ch_full)
     means, inv = _color_inverse_cov(ch_low, k, eps)
 
-    p_low = resize_nearest(p_ext, (h, w))
     (a_r, a_g, a_b), b = _solve_ab(p_low, ch_low, means, inv, k)
 
     mean_a = [box_mean(a, k) for a in (a_r, a_g, a_b)]

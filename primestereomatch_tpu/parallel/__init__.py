@@ -6,4 +6,5 @@ from primestereomatch_tpu.parallel.mesh import (  # noqa: F401
 from primestereomatch_tpu.parallel.sharded import (  # noqa: F401
     halo_exchange_rows,
     make_sharded_gif,
+    make_sharded_sgbm,
 )

@@ -42,9 +42,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from primestereomatch_tpu.config import GIFConfig
 from primestereomatch_tpu.ops.color import bgr_to_gray_refquirk, sobel_x_k1
-from primestereomatch_tpu.ops.cost_volume import build_cost_volume_block
+from primestereomatch_tpu.ops.cost_volume import build_cost_volume_block_sampled
 from primestereomatch_tpu.ops.guided_filter import (
-    fast_guided_filter_color_tile,
+    fast_guided_filter_color_tile_low,
     fgf_tile_halo,
 )
 from primestereomatch_tpu.ops.jointwmf import joint_wmf
@@ -157,6 +157,44 @@ def _to_u8(img01: jax.Array) -> jax.Array:
     return jnp.clip(jnp.rint(img01 * 255.0), 0, 255).astype(jnp.uint8)
 
 
+def make_sharded_sgbm(mesh: Mesh, cfg=None):
+    """Batch-data-parallel SGBM over the mesh's `b` axis.
+
+    SGBM's directional scans are global recurrences over rows/columns —
+    y-tiling them would serialize shards into a wavefront, so the
+    throughput axis for SGBM is frames (the reference runs it single-image
+    too, src/StereoMatch.cpp:169-187). Images shard over `b`; `y`/`d` axes
+    are unused (the step still compiles on any mesh shape whose rows/disp
+    axes divide nothing). Returns fn(l_u8, r_u8) -> (B, H, W) int16.
+    """
+    from primestereomatch_tpu.config import SGBMConfig
+    from primestereomatch_tpu.models.sgbm_pipeline import stereo_sgbm_forward
+
+    cfg = cfg or SGBMConfig()
+    bn = mesh.shape[AXIS_BATCH]
+
+    def shard_fn(l_blk, r_blk):
+        return jax.vmap(lambda a, b: stereo_sgbm_forward(a, b, cfg))(l_blk, r_blk)
+
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(AXIS_BATCH), P(AXIS_BATCH)),
+        out_specs=P(AXIS_BATCH),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(l_imgs, r_imgs):
+        if l_imgs.shape[0] % bn:
+            raise ValueError(
+                f"batch {l_imgs.shape[0]} not divisible by b shards {bn}"
+            )
+        return mapped(l_imgs, r_imgs)
+
+    return step
+
+
 def make_sharded_gif(
     mesh: Mesh,
     cfg: GIFConfig = GIFConfig(),
@@ -197,24 +235,34 @@ def make_sharded_gif(
         l_ext = ex(l_blk)
         r_ext = ex(r_blk)
 
+        import numpy as np
+
+        He = Ht + 2 * halo
+        s = cfg.subsample
+        yi_t = np.arange(He // s) * s          # exact-scale tile sample grid
+        xi_t = np.arange(W // s) * s
+
         def frame(l_e, r_e):
-            # --- CVC on the extended tile (halo rows recomputed locally) --
+            # --- CVC at the FGF sample grid (halo rows recomputed locally;
+            # the full-res cost tile never exists — same fast path as the
+            # single-chip pipeline) ----------------------------------------
             l_grd = sobel_x_k1(bgr_to_gray_refquirk(l_e))
             r_grd = sobel_x_k1(bgr_to_gray_refquirk(r_e))
-            lcv, rcv = build_cost_volume_block(
+            lcv_low, rcv_low = build_cost_volume_block_sampled(
                 l_e, r_e, l_grd, r_grd, d0, d_block, cfg.max_dis,
+                yi_t, xi_t,
                 alpha=cfg.alpha, border_cost=cfg.border_cost,
                 tau1=cfg.tau1, tau2=cfg.tau2,
             )
             # --- CVF (FGF) on the extended tile ---------------------------
             fgf = functools.partial(
-                fast_guided_filter_color_tile,
+                fast_guided_filter_color_tile_low,
                 radius=cfg.gif_radius, eps=cfg.gif_eps,
                 subsample=cfg.subsample, halo=halo, global_h=H,
                 is_top=is_top, is_bot=is_bot,
             )
-            lcv = fgf(l_e, lcv)[:, halo : halo + Ht]
-            rcv = fgf(r_e, rcv)[:, halo : halo + Ht]
+            lcv = fgf(l_e, lcv_low)[:, halo : halo + Ht]
+            rcv = fgf(r_e, rcv_low)[:, halo : halo + Ht]
             # --- local WTA over the d block (global d=0 never selected) ---
             d_glob = d0 + jnp.arange(d_block, dtype=jnp.int32)
             inf = jnp.asarray(jnp.inf, lcv.dtype)

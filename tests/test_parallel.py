@@ -114,3 +114,25 @@ def test_halo_exchange_zero_edges(rng):
     np.testing.assert_array_equal(ext[-1, -halo:], 0.0)          # global bottom
     np.testing.assert_array_equal(ext[0, -halo:], x[tile : tile + halo])
     np.testing.assert_array_equal(ext[1, :halo], x[tile - halo : tile])
+
+
+def test_sharded_sgbm_batch_parallel(rng):
+    from primestereomatch_tpu.config import SGBMConfig
+    from primestereomatch_tpu.models.sgbm_pipeline import stereo_sgbm_forward
+    from primestereomatch_tpu.parallel.sharded import make_sharded_sgbm
+
+    plan = MeshPlan(4, 1, 1)
+    mesh = make_mesh(plan, jax.devices()[:4])
+    cfg = SGBMConfig(num_disparities=8, speckle_window_size=10)
+    step = make_sharded_sgbm(mesh, cfg)
+
+    B, H, W = 4, 24, 48
+    l = rng.integers(0, 256, (B, H, W, 3), dtype=np.uint8)
+    r = np.roll(l, -2, axis=2)
+    out = np.asarray(step(jnp.asarray(l), jnp.asarray(r)))
+    assert out.shape == (B, H, W) and out.dtype == np.int16
+    for b in range(B):
+        ref = np.asarray(stereo_sgbm_forward(
+            jnp.asarray(l[b]), jnp.asarray(r[b]), cfg
+        ))
+        np.testing.assert_array_equal(out[b], ref)
