@@ -166,3 +166,43 @@ def test_app_stream_pipelined():
     # stream drains correctly when the source runs out
     results = list(app.stream(10))
     assert len(results) == 1  # only frame 4 was left
+
+
+def test_dispest_dump_cost_volume(tmp_path, rng):
+    """printCV parity (src/DispEst.cpp:181-194): every slice as a PNG."""
+    import jax.numpy as jnp
+
+    from primestereomatch_tpu.config import GIFConfig
+    from primestereomatch_tpu.models.gif_pipeline import DispEst
+
+    e = DispEst(GIFConfig(max_dis=4, med_sz=7))
+    l = jnp.asarray(rng.random((16, 24, 3), dtype=np.float32))
+    r = jnp.asarray(rng.random((16, 24, 3), dtype=np.float32))
+    lcv, _ = e.cost_const(l, r)
+    paths = e.dump_cost_volume(lcv, str(tmp_path / "cv_"))
+    assert len(paths) == 4
+    from primestereomatch_tpu.utils.datasets import _imread_gray
+
+    img = _imread_gray(paths[2])
+    want = np.clip(np.rint(np.asarray(lcv)[2] * 255.0), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(img, want)
+
+
+def test_stage_timers_and_roofline():
+    from primestereomatch_tpu.utils.profiling import (
+        StageTimers,
+        gif_hbm_bytes,
+        hbm_roofline_fraction,
+    )
+
+    t = StageTimers()
+    with t.stage("CVC"):
+        pass
+    with t.stage("CVC"):
+        pass
+    assert t.stages["CVC"].count == 2
+    assert "CVC" in t.report()
+    b = gif_hbm_bytes(375, 450, 64, 4)
+    assert b > 100e6
+    frac = hbm_roofline_fraction(0.005, 375, 450, 64, 4)
+    assert 0 < frac < 1
