@@ -49,6 +49,11 @@ class GIFConfig:
     # golden path), 'mxu' banded-matrix matmuls on the systolic array
     # (ops/resize.py::resize_bilinear_mxu). 'auto' = mxu on TPU.
     upsample_impl: str = "auto"  # auto | lerp | mxu
+    # upsample+WTA stage: 'pallas' = fused kernel (kernels/wta_pallas.py,
+    # never materializes the upsampled maps), 'xla' = chunked einsum path.
+    # 'auto' = pallas on TPU. Last-ulp argmin ties may differ between the
+    # two (identical interpolation arithmetic, different summation paths).
+    wta_impl: str = "auto"       # auto | xla | pallas
     sig_clr: float = 0.1         # SIG_CLR, include/PP.h:13 (wgtMedian)
     sig_dis: float = 9.0         # SIG_DIS, include/PP.h:14 (wgtMedian)
     # The reference ships lrCheck -> fillInv -> wgtMedian commented out

@@ -17,13 +17,14 @@ index/weight tables:
 q is then a fused elementwise combine with the guide tile and a running
 (min, argmin) fold — the filtered volume never exists anywhere.
 
-STATUS: numerically validated (bit-exact vs the lerp reference in
-interpreter mode); on hardware the current (8, 128)-tile schedule loses
-to the XLA mxu path because each tile re-DMAs an aligned (RS, CS) =
-(16, 256) window of every map for a (4, 34) useful footprint (~7.5x HBM
-redundancy, ~45 GB/frame at 2K). Not wired into the pipeline; the fix is
-a second-level tile loop amortizing one slab across a (64, 512) output
-macro-tile. Kept as the measured baseline for that follow-up.
+STATUS: bit-exact vs the lerp reference in interpreter mode. On a v5e
+the (16, 384)-tile double-buffered schedule beats the XLA mxu path at
+2K/d=256 (36.5 ms vs 45.4 ms per view) while never materializing the
+4 x 2.8 GB upsampled tensors, and matches it at Middlebury sizes
+(1.6 ms). Tile-size evolution (measured): (8,128) serial DMA 192 ms ->
+full-M matmuls 194 ms -> double buffering 116 ms -> (16, 256) 44.5 ms ->
+(16, 384) 36.5 ms. Wired as the default TPU WTA path
+(GIFConfig.wta_impl='auto').
 
 Exactness: the interpolation indices/weights are the same float32 values
 `ops/resize.py::linear_coeffs` produces (computed host-side in f64); the
@@ -45,8 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from primestereomatch_tpu.ops.resize import linear_coeffs
 
-TILE_H = 8
-TILE_W = 128
+TILE_H = 16
+TILE_W = 384
 
 
 def _round_up(x: int, m: int) -> int:
@@ -92,39 +93,53 @@ def _wta_kernel(
     best0 = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
     arg0 = jnp.zeros((TILE_H, TILE_W), jnp.int32)
 
-    def chunk_body(c, carry):
-        best, arg = carry
-        cp = pltpu.make_async_copy(
+    def get_dma(slot, c):
+        return pltpu.make_async_copy(
             maps_hbm.at[
                 :, pl.ds(c * DC, DC), pl.ds(r0, RS), pl.ds(c0, CS)
             ],
-            slab, sem,
+            slab.at[slot], sem.at[slot],
         )
-        cp.start()
-        cp.wait()
+
+    # double buffer: chunk c+1 streams in while chunk c computes — the
+    # per-tile wall is max(DMA, compute), not their sum
+    get_dma(0, 0).start()
+
+    def chunk_body(c, carry):
+        best, arg = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+        get_dma(slot, c).wait()
+        cur = slab[slot]
         # rows: contract RS — (8, RS) x (4, DC, RS, CS) -> (8, 4, DC, CS)
         rowed = jax.lax.dot_general(
-            w_row, slab[:],
+            w_row, cur,
             dimension_numbers=(((1,), (2,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        # cols: contract CS — (8, 4, DC, CS) x (CS, TW) -> (8, 4, DC, TW)
-        q4 = jax.lax.dot_general(
-            rowed, w_col,
-            dimension_numbers=(((3,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        # cols: merge (maps, DC, rows) into the matmul M dimension —
+        # batched M=8 matmuls run the MXU at 8/128 row utilization, one
+        # (n_maps*DC*8, CS) @ (CS, TW) matmul runs it full
+        flat = jnp.transpose(rowed, (1, 2, 0, 3)).reshape(
+            n_maps * DC * TILE_H, CS
         )
-        # combine maps with the guide: (8, DC, TW)
+        q4 = jnp.dot(flat, w_col, preferred_element_type=jnp.float32)
+        q4 = q4.reshape(n_maps, DC, TILE_H, TILE_W)
+        # combine maps with the guide: (DC, 8, TW)
         q = (
-            q4[:, 0] * cr[:, None, :]
-            + q4[:, 1] * cg[:, None, :]
-            + q4[:, 2] * cb[:, None, :]
-            + q4[:, 3]
+            q4[0] * cr[None]
+            + q4[1] * cg[None]
+            + q4[2] * cb[None]
+            + q4[3]
         )
-        d_glob = c * DC + jax.lax.broadcasted_iota(jnp.int32, (1, DC, 1), 1)
+        d_glob = c * DC + jax.lax.broadcasted_iota(jnp.int32, (DC, 1, 1), 0)
         q = jnp.where(d_glob == 0, jnp.inf, q)
-        c_min = jnp.min(q, axis=1)
-        c_arg = (c * DC + jnp.argmin(q, axis=1)).astype(jnp.int32)
+        c_min = jnp.min(q, axis=0)
+        c_arg = (c * DC + jnp.argmin(q, axis=0)).astype(jnp.int32)
         take = c_min < best
         return jnp.where(take, c_min, best), jnp.where(take, c_arg, arg)
 
@@ -189,7 +204,8 @@ def fgf_wta_pallas(
     ryw = np.zeros((nty, TILE_H, TILE_W), np.float32)
     ryw[:, :, 0] = ry_rel.reshape(nty, TILE_H)
     ryw[:, :, 1] = fy.reshape(nty, TILE_H)
-    cxw = np.zeros((ntx, 16, CS), np.float32)
+    CW = max(CS, TILE_W)
+    cxw = np.zeros((ntx, 16, CW), np.float32)
     cxw[:, 0, :TILE_W] = cx_rel.reshape(ntx, TILE_W)
     cxw[:, 1, :TILE_W] = fx.reshape(ntx, TILE_W)
 
@@ -203,12 +219,12 @@ def fgf_wta_pallas(
             pl.BlockSpec(memory_space=pl.ANY),                       # maps
             pl.BlockSpec((3, TILE_H, TILE_W), lambda i, j, *_: (0, i, j)),
             pl.BlockSpec((1, TILE_H, TILE_W), lambda i, j, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 16, CS), lambda i, j, *_: (j, 0, 0)),
+            pl.BlockSpec((1, 16, CW), lambda i, j, *_: (j, 0, 0)),
         ],
         out_specs=pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
         scratch_shapes=[
-            pltpu.VMEM((4, DC, RS, CS), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, 4, DC, RS, CS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(

@@ -115,17 +115,27 @@ def stereo_gif_forward(
     )
     ma_l, mb_l = low(l_img, lcv_low)
     ma_r, mb_r = low(r_img, rcv_low)
-    # single chunk (the fully-unrolled fast path) while the upsampled
-    # tensors stay small; chunk to bound memory at big sizes (2K/d=256
-    # would need 4 x 2.8 GB per view otherwise)
-    full_bytes = 4 * cfg.max_dis * H * W * 4
-    d_chunk = cfg.max_dis if full_bytes <= (1 << 30) else min(16, cfg.max_dis)
-    wta = functools.partial(
-        fgf_wta_low_maps, out_hw=(H, W),
-        d_chunk=d_chunk, upsample_impl=up_impl,
-    )
-    l_disp = wta(l_img, ma_l, mb_l)
-    r_disp = wta(r_img, ma_r, mb_r)
+    wta_impl = cfg.wta_impl
+    if wta_impl == "auto":
+        wta_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if wta_impl == "pallas" and cfg.max_dis % min(32, cfg.max_dis) == 0:
+        from primestereomatch_tpu.kernels.wta_pallas import fgf_wta_pallas
+
+        dc = min(32, cfg.max_dis)
+        l_disp = fgf_wta_pallas(l_img, *ma_l, mb_l, (H, W), d_chunk=dc)
+        r_disp = fgf_wta_pallas(r_img, *ma_r, mb_r, (H, W), d_chunk=dc)
+    else:
+        # single chunk (the fully-unrolled fast path) while the upsampled
+        # tensors stay small; chunk to bound memory at big sizes (2K/d=256
+        # would need 4 x 2.8 GB per view otherwise)
+        full_bytes = 4 * cfg.max_dis * H * W * 4
+        d_chunk = cfg.max_dis if full_bytes <= (1 << 30) else min(16, cfg.max_dis)
+        wta = functools.partial(
+            fgf_wta_low_maps, out_hw=(H, W),
+            d_chunk=d_chunk, upsample_impl=up_impl,
+        )
+        l_disp = wta(l_img, ma_l, mb_l)
+        r_disp = wta(r_img, ma_r, mb_r)
 
     # --- PP ------------------------------------------------------------------
     if run_postprocess and cfg.pp_toolchain:
