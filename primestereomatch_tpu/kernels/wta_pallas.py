@@ -158,7 +158,34 @@ def fgf_wta_pallas(
     d_chunk: int = 32,
     interpret: bool = False,
 ) -> jax.Array:
-    """(H, W) uint8 WTA disparities (d=0 never selected)."""
+    """(H, W) uint8 WTA disparities (d=0 never selected). vmap-able: the
+    batching rule maps frames sequentially (one pallas_call each — the
+    kernel already pipelines its own DMA, so per-frame dispatch is the
+    right batch strategy, see CLAUDE.md on vmap throughput)."""
+
+    @jax.custom_batching.custom_vmap
+    def run(g, a0, a1, a2, b):
+        return _fgf_wta_pallas_impl(g, a0, a1, a2, b, out_hw, d_chunk, interpret)
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, g, a0, a1, a2, b):  # noqa: ANN001
+        def bcast(x, batched):
+            return x if batched else jnp.broadcast_to(x, (axis_size, *x.shape))
+
+        args = [bcast(x, bb) for x, bb in zip((g, a0, a1, a2, b), in_batched)]
+        out = jax.lax.map(
+            lambda xs: _fgf_wta_pallas_impl(*xs, out_hw, d_chunk, interpret),
+            tuple(args),
+        )
+        return out, True
+
+    return run(guide, mean_a_r, mean_a_g, mean_a_b, mean_b)
+
+
+def _fgf_wta_pallas_impl(
+    guide, mean_a_r, mean_a_g, mean_a_b, mean_b,
+    out_hw, d_chunk, interpret,
+) -> jax.Array:
     H, W = out_hw
     D, h, w = mean_b.shape
     DC = min(d_chunk, D)

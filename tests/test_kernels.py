@@ -79,3 +79,27 @@ def test_fgf_wta_pallas_matches_reference(rng):
         guide, *ma, mb, (H, W), d_chunk=8, interpret=True
     ))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_fgf_wta_pallas_vmap(rng):
+    import jax
+
+    from primestereomatch_tpu.kernels.wta_pallas import fgf_wta_pallas
+    from primestereomatch_tpu.ops.guided_filter import fgf_low_maps
+
+    B, H, W, D = 2, 32, 140, 8
+    guide = jnp.asarray(rng.random((B, H, W, 3), dtype=np.float32))
+    p_low = jnp.asarray(rng.random((B, D, H // 4, W // 4), dtype=np.float32))
+    f = jax.vmap(lambda g, p: fgf_wta_pallas(
+        g, *fgf_low_maps(g, p, 8, 1e-4, 4)[0],
+        fgf_low_maps(g, p, 8, 1e-4, 4)[1],
+        (H, W), d_chunk=8, interpret=True,
+    ))
+    out = np.asarray(f(guide, p_low))
+    assert out.shape == (B, H, W)
+    for b in range(B):
+        ma, mb = fgf_low_maps(guide[b], p_low[b], 8, 1e-4, 4)
+        ref = np.asarray(fgf_wta_pallas(
+            guide[b], *ma, mb, (H, W), d_chunk=8, interpret=True
+        ))
+        np.testing.assert_array_equal(out[b], ref)
