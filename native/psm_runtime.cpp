@@ -64,7 +64,16 @@ static int decode_png_file(const char* path, int want_channels, PsmImage* out) {
   }
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    fclose(f);
+    return -3;
+  }
   png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    fclose(f);
+    return -3;
+  }
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(f);
@@ -129,7 +138,16 @@ int psm_imwrite_png(const char* path, const uint8_t* data, int height,
   if (!f) return -1;
   png_structp png =
       png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    fclose(f);
+    return -2;
+  }
   png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_write_struct(&png, nullptr);
+    fclose(f);
+    return -2;
+  }
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_write_struct(&png, &info);
     fclose(f);
@@ -221,16 +239,21 @@ struct Source {
         int we = full.width / 2;
         size_t stride = size_t(full.width) * 3;
         size_t half = size_t(we) * 3;
-        auto split = [&](int off, PsmImage* o) {
+        auto split = [&](int off, PsmImage* o) -> bool {
           o->height = full.height;
           o->width = we;
           o->channels = 3;
           o->data = static_cast<uint8_t*>(malloc(half * full.height));
+          if (!o->data) return false;
           for (int y = 0; y < full.height; y++)
             memcpy(o->data + y * half, full.data + y * stride + off * half, half);
+          return true;
         };
-        split(0, &fr->left);
-        split(1, &fr->right);
+        if (!split(0, &fr->left) || !split(1, &fr->right)) {
+          free(fr->left.data);
+          fr->left.data = nullptr;
+          fr->status = -4;
+        }
         free(full.data);
       }
     } else {
@@ -247,8 +270,16 @@ struct Source {
       Frame fr;
       if (!decode_one(idx, &fr)) break;  // end of stream
       std::unique_lock<std::mutex> lk(mu);
+      // The frame the consumer is waiting for (fr.index == next_to_emit) must
+      // bypass the capacity wait: otherwise, with this worker decoding slowly,
+      // the other workers can fill `reorder` to capacity with out-of-order
+      // frames, and this worker would block on capacity while the consumer
+      // blocks on the in-order frame — a deadlock. Letting the in-order frame
+      // in unconditionally guarantees the drain loop below always makes
+      // progress (ADVICE r1: per-worker capacity starvation).
       cv_can_produce.wait(lk, [&] {
-        return stop.load() || ready.size() + reorder.size() < depth + workers.size();
+        return stop.load() || fr.index == next_to_emit ||
+               ready.size() + reorder.size() < depth + workers.size();
       });
       if (stop.load()) {
         free(fr.left.data);
@@ -271,6 +302,9 @@ struct Source {
         }
       }
       cv_can_consume.notify_all();
+      // A peer worker may be blocked on capacity while holding the frame that
+      // just became next_to_emit — wake producers so its bypass re-evaluates.
+      cv_can_produce.notify_all();
     }
     std::lock_guard<std::mutex> lk(mu);
     cv_can_consume.notify_all();

@@ -213,6 +213,21 @@ def make_sharded_gif(
     dn = mesh.shape[AXIS_DISP]
     if cfg.max_dis % dn:
         raise ValueError(f"max_dis={cfg.max_dis} not divisible by d shards {dn}")
+    # Guard documented sharded == single-device equivalence: the sharded
+    # post-process implements exact-mode JointWMF only. pp_toolchain and
+    # table-mode WMF need global state (k-means feature clustering spans the
+    # whole image) — refuse rather than silently diverge (ADVICE r1).
+    if cfg.pp_toolchain:
+        raise ValueError(
+            "make_sharded_gif does not implement cfg.pp_toolchain=True; "
+            "use the single-device pipeline for the lrCheck/fillInv/wgtMedian "
+            "toolchain"
+        )
+    if cfg.wmf_mode != "exact":
+        raise ValueError(
+            f"make_sharded_gif supports wmf_mode='exact' only (got "
+            f"{cfg.wmf_mode!r}): table-mode feature clustering is global"
+        )
     d_block = cfg.max_dis // dn
     halo = fgf_tile_halo(cfg.gif_radius, cfg.subsample)
     r_wmf = cfg.wmf_radius

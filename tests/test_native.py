@@ -93,6 +93,43 @@ def test_prefetch_pairs_and_loop(tmp_path, rng):
     src.close()
 
 
+def test_prefetch_stress_no_deadlock(tmp_path, rng):
+    """Regression for the round-1 capacity-starvation deadlock: many workers
+    racing on a tiny capacity (depth=1) with frames of very different decode
+    cost. A worker holding the next in-order frame must be able to bypass the
+    capacity wait; before the fix this configuration could hang forever.
+    Run under a hard wall-clock bound via a worker thread + join timeout."""
+    import threading
+
+    from PIL import Image
+
+    n = 48
+    for i in range(n):
+        # alternate tiny and larger frames so decode times interleave badly
+        h, w = (6, 12) if i % 3 else (96, 160)
+        f = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        f[0, 0, 0] = i % 251
+        Image.fromarray(f).save(tmp_path / f"p{i:03d}_l.png")
+        Image.fromarray(f).save(tmp_path / f"p{i:03d}_r.png")
+    pairs = [
+        (str(tmp_path / f"p{i:03d}_l.png"), str(tmp_path / f"p{i:03d}_r.png"))
+        for i in range(n)
+    ]
+    got = []
+
+    def run():
+        src = native.PrefetchSource(pairs, side_by_side=False, threads=6, depth=1)
+        for l, _ in src:
+            got.append(int(l[0, 0, 2]))  # BGR fingerprint
+        src.close()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=60)
+    assert not t.is_alive(), "prefetch source deadlocked"
+    assert got == [i % 251 for i in range(n)]
+
+
 def test_now_us_monotonic():
     a = native.now_us()
     b = native.now_us()

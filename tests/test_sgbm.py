@@ -107,6 +107,45 @@ def test_filter_speckles_matches_floodfill():
     np.testing.assert_array_equal(got, want)
 
 
+def test_filter_speckles_serpentine_vs_cv2():
+    """Adversarial: a boustrophedon snake — one 4-connected component whose
+    internal path length (~H*W/2) far exceeds H+W. Min-label propagation
+    without pointer jumping cannot converge within the H+W cap and would
+    split the snake into sub-threshold pieces, wrongly invalidating a large
+    component. Oracle is the real cv2.filterSpeckles."""
+    cv2 = pytest.importorskip("cv2")
+    H, W = 32, 32
+    inv = -16
+    d = np.full((H, W), inv, np.int16)
+    for y in range(0, H, 2):
+        d[y, :] = 160
+    for i, y in enumerate(range(1, H - 1, 2)):
+        d[y, W - 1 if i % 2 == 0 else 0] = 160
+    # snake area = 16*32 + 15 = 527 > 400 -> must be KEPT
+    got = np.asarray(ops.filter_speckles(jnp.asarray(d), 400, 16 * 2, inv))
+    want_cv = d.copy()
+    cv2.filterSpeckles(want_cv, inv, 400, 16 * 2)
+    np.testing.assert_array_equal(got, want_cv)
+    assert (got != inv).sum() == 527  # the snake survived intact
+
+
+def test_filter_speckles_random_vs_cv2():
+    """Cross-validate the repo flood-fill oracle itself against OpenCV on a
+    dense random field (many touching components, level jumps)."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(7)
+    H, W = 48, 64
+    inv = -16
+    d = (rng.integers(0, 6, (H, W)) * 48).astype(np.int16)
+    d[rng.random((H, W)) < 0.3] = inv
+    got = np.asarray(ops.filter_speckles(jnp.asarray(d), 24, 16 * 2, inv))
+    want_cv = d.copy()
+    cv2.filterSpeckles(want_cv, inv, 24, 16 * 2)
+    np.testing.assert_array_equal(got, want_cv)
+    want_oracle = oracle.filter_speckles(d, 24, 16 * 2, inv)
+    np.testing.assert_array_equal(want_oracle, want_cv)
+
+
 def test_end_to_end_oracle(pair):
     l, r = pair
     cfg = SGBMConfig(
