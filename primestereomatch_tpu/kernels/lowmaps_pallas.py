@@ -1,0 +1,220 @@
+"""Pallas TPU kernel: fused low-resolution FastGuidedFilter coefficient chain.
+
+The FGF's low-res half (ops/guided_filter.py::fgf_low_maps, reference
+src/fastguidedfilter.cpp:121-198 + src/CVF_cl.cpp:226-281 dataflow) is, per
+cost slice: box(p), box(I_c*p) x3, the 3x3-inverse-covariance solve for
+(a_r, a_g, a_b, b), then box(a_c) x3 + box(b). In XLA that is ~8 separable
+box passes whose intermediates each round-trip HBM — ~12 (D, h, w) tensor
+passes. This kernel runs the entire chain per (row-tile, d-chunk) block in
+VMEM: one read of the cost block, one write of the four coefficient maps.
+
+Layout contract (designed to feed kernels/wta_pallas.py directly):
+
+  * inputs are pre-padded in XLA with the reflect-101 margins the two box
+    passes need (M = 2*(k//2) rows/cols each side) and pre-expanded into
+    overlapping row tiles (n_tiles, D, TH+2M, w+2M) — so every in-kernel
+    slice is static and the kernel is pure VALID box math (no edge logic);
+  * the output is the STACKED maps tensor (4, D, HP, WP) with
+    HP = n_tiles*TH >= h and WP >= w rounded to 128 lanes — exactly the
+    padded layout fgf_wta_pallas_maps DMAs from, so the maps never get
+    re-padded (at 2K that jnp.pad alone copies ~700 MB per view). Columns
+    >= w are zero; rows >= h are finite reflect-spill values (the WTA
+    consumer only ever reads them with 0.0 interpolation weight).
+
+Numerics: the box sums are sequential 5-tap (k-tap) adds; the XLA path's
+reduce_window may sum the same window in a different order, so agreement
+with ops/guided_filter.py is exact-valued up to last-ulp float summation
+(the same contract as the WTA/WMF kernels; %BP goldens are unaffected).
+
+STATUS: equal to fgf_low_maps within 2e-6 in interpret mode (exact window
+multisets); on a v5e the fused chain replaces ~45 ms of XLA box passes at
+2K/d=256 (see BENCH_SUITE.json / SCALING.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from primestereomatch_tpu.ops.guided_filter import _color_inverse_cov
+
+TH = 32  # output rows per tile
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _box_valid(x: jax.Array, k: int, scale: float) -> jax.Array:
+    """k x k VALID mean over the last two axes via sequential tap adds."""
+    m = k - 1
+    R, C = x.shape[-2], x.shape[-1]
+    r = jax.lax.slice_in_dim(x, 0, R - m, axis=-2)
+    for i in range(1, k):
+        r = r + jax.lax.slice_in_dim(x, i, R - m + i, axis=-2)
+    c = jax.lax.slice_in_dim(r, 0, C - m, axis=-1)
+    for i in range(1, k):
+        c = c + jax.lax.slice_in_dim(r, i, C - m + i, axis=-1)
+    return c * scale
+
+
+def _lowmaps_kernel(
+    p_blk,        # (1, DC, TI, WI)  cost block (pre-padded tile)
+    stat_blk,     # (1, 12, TI, WI)  ch_low(3) means(3) inv(6), same tile
+    out_ref,      # (4, DC, TH, WO)  [a_r, a_g, a_b, b] box-averaged
+    *, k: int, DC: int, w: int,
+):
+    M = 2 * (k // 2)
+    m1 = k // 2
+    inv_k2 = 1.0 / (k * k)
+    TI = p_blk.shape[2]
+    WI = p_blk.shape[3]
+    WO = out_ref.shape[3]
+
+    ch = stat_blk[0, 0:3]                       # (3, TI, WI)
+    # stats are consumed at the mid domain (TH+2*m1, w+2*m1)
+    mid_r = (m1, TI - m1)
+    mid_c = (m1, WI - m1)
+    mean_r = stat_blk[0, 3:6, mid_r[0]:mid_r[1], mid_c[0]:mid_c[1]]
+    inv6 = stat_blk[0, 6:12, mid_r[0]:mid_r[1], mid_c[0]:mid_c[1]]
+
+    pad_c = WO - w
+    zeros_pad = jnp.zeros((DC, TH, pad_c), jnp.float32)
+
+    outs = []
+    for quadrant in range(1):  # structural no-op; keeps the body flat
+        p = p_blk[0]                             # (DC, TI, WI)
+        mp = _box_valid(p, k, inv_k2)            # (DC, TI-2m1, WI-2m1)
+        mIp = [
+            _box_valid(ch[c][None] * p, k, inv_k2) for c in range(3)
+        ]
+        cov = [mIp[c] - mean_r[c][None] * mp for c in range(3)]
+        a_r = inv6[0][None] * cov[0] + inv6[1][None] * cov[1] + inv6[2][None] * cov[2]
+        a_g = inv6[1][None] * cov[0] + inv6[3][None] * cov[1] + inv6[4][None] * cov[2]
+        a_b = inv6[2][None] * cov[0] + inv6[4][None] * cov[1] + inv6[5][None] * cov[2]
+        b = (
+            mp
+            - a_r * mean_r[0][None]
+            - a_g * mean_r[1][None]
+            - a_b * mean_r[2][None]
+        )
+        for i, t in enumerate((a_r, a_g, a_b, b)):
+            o = _box_valid(t, k, inv_k2)         # (DC, TH, w)
+            outs.append(jnp.concatenate([o, zeros_pad], axis=-1))
+
+    out_ref[:] = jnp.stack(outs, axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius", "eps", "subsample", "out_wp", "interpret")
+)
+def fgf_low_maps_pallas(
+    guide: jax.Array,          # (H, W, 3) float32 full-res guide
+    p_low: jax.Array,          # (D, h, w) subsampled cost volume
+    radius: int = 8,
+    eps: float = 1e-4,
+    subsample: int = 4,
+    out_wp: int | None = None,  # pad output lanes to at least this (WTA layout)
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused fgf_low_maps: returns STACKED maps (4, D, HP, WP) f32
+    ([mean_a_r, mean_a_g, mean_a_b, mean_b]) where HP = ceil(h/TH)*TH and
+    WP = max(round_up(w, 128), out_wp); the region outside (h, w) is zero.
+    Feed directly to fgf_wta_pallas_maps(..., logical_hw=(h, w)).
+    vmap-able: frames dispatch sequentially (see kernels/wta_pallas.py)."""
+
+    @jax.custom_batching.custom_vmap
+    def run(g, p):
+        return _fgf_low_maps_pallas_impl(
+            g, p, radius, eps, subsample, out_wp, interpret
+        )
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, g, p):  # noqa: ANN001
+        def bcast(x, batched):
+            return x if batched else jnp.broadcast_to(x, (axis_size, *x.shape))
+
+        args = [bcast(x, bb) for x, bb in zip((g, p), in_batched)]
+        out = jax.lax.map(
+            lambda xs: _fgf_low_maps_pallas_impl(
+                *xs, radius, eps, subsample, out_wp, interpret
+            ),
+            tuple(args),
+        )
+        return out, True
+
+    return run(guide, p_low)
+
+
+def _fgf_low_maps_pallas_impl(
+    guide, p_low, radius, eps, subsample, out_wp, interpret
+) -> jax.Array:
+    from primestereomatch_tpu.ops.resize import resize_nearest
+
+    D, h, w = p_low.shape
+    k = 2 * (radius // subsample) + 1
+    M = 2 * (k // 2)
+    n_tiles = -(-h // TH)
+    HP = n_tiles * TH
+    WP = _round_up(w, 128)
+    if out_wp is not None:
+        WP = max(WP, out_wp)
+    WI = w + 2 * M
+    TI = TH + 2 * M
+    DC = min(8, D)
+    while D % DC:
+        DC //= 2
+    n_dc = D // DC
+
+    # ---- low-res guide statistics in XLA (small: 12 (h, w) planes) --------
+    ch_low = tuple(resize_nearest(guide[..., c], (h, w)) for c in range(3))
+    means, inv = _color_inverse_cov(ch_low, k, eps)
+    stats = jnp.stack([*ch_low, *means, *inv], axis=0)     # (12, h, w)
+
+    # ---- pad: reflect-101 margins (box semantics), then zero/edge fill ----
+    def pad_hw(x, extra_rows, mode_extra):
+        x = jnp.pad(
+            x,
+            [(0, 0)] * (x.ndim - 2) + [(M, M), (M, M)],
+            mode="reflect",
+        )
+        if extra_rows:
+            x = jnp.pad(
+                x,
+                [(0, 0)] * (x.ndim - 2) + [(0, extra_rows), (0, 0)],
+                mode=mode_extra,
+            )
+        return x
+
+    extra = HP - h
+    p_pad = pad_hw(p_low, extra, "constant")        # garbage rows -> finite 0s
+    stats_pad = pad_hw(stats, extra, "edge")        # keep inv/det finite
+
+    # ---- overlapping row tiles (static concat; fused with the producer) ---
+    p_tiles = jnp.stack(
+        [jax.lax.slice_in_dim(p_pad, i * TH, i * TH + TI, axis=1)
+         for i in range(n_tiles)]
+    )                                               # (n_tiles, D, TI, WI)
+    s_tiles = jnp.stack(
+        [jax.lax.slice_in_dim(stats_pad, i * TH, i * TH + TI, axis=1)
+         for i in range(n_tiles)]
+    )                                               # (n_tiles, 12, TI, WI)
+
+    kernel = functools.partial(_lowmaps_kernel, k=k, DC=DC, w=w)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_dc),
+        in_specs=[
+            pl.BlockSpec((1, DC, TI, WI), lambda i, c: (i, c, 0, 0)),
+            pl.BlockSpec((1, 12, TI, WI), lambda i, c: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((4, DC, TH, WP), lambda i, c: (0, c, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((4, D, HP, WP), jnp.float32),
+        interpret=interpret,
+    )(p_tiles, s_tiles)
+    return out

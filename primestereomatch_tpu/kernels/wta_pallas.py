@@ -182,12 +182,51 @@ def fgf_wta_pallas(
     return run(guide, mean_a_r, mean_a_g, mean_a_b, mean_b)
 
 
-def _fgf_wta_pallas_impl(
-    guide, mean_a_r, mean_a_g, mean_a_b, mean_b,
-    out_hw, d_chunk, interpret,
+def wta_maps_min_wp(h: int, w: int, H: int, W: int) -> int:
+    """Minimum padded lane width for a pre-stacked maps tensor so that
+    `fgf_wta_pallas_maps` can DMA every aligned column window in-bounds
+    without re-padding (producers: kernels/lowmaps_pallas.py)."""
+    wp = _round_up(W, TILE_W)
+    sx, _ = linear_coeffs(w, W)
+    sx = np.concatenate([sx, np.full(wp - W, sx[-1])])
+    ntx = wp // TILE_W
+    col_base = (sx[np.arange(ntx) * TILE_W] // 128) * 128
+    span_c = int((sx[np.minimum(np.arange(ntx) * TILE_W + TILE_W - 1, wp - 1)]
+                  - col_base).max()) + 2
+    CS = _round_up(span_c, 128)
+    return int(col_base.max()) + CS
+
+
+def fgf_wta_pallas_maps(
+    guide: jax.Array,          # (H, W, 3) float32
+    maps: jax.Array,           # (4, D, HP, WP) STACKED [a_r, a_g, a_b, b],
+                               # zero-filled outside the logical (h, w)
+    logical_hw: tuple[int, int],
+    out_hw: tuple[int, int],
+    d_chunk: int = 32,
+    interpret: bool = False,
 ) -> jax.Array:
+    """WTA from a pre-stacked, pre-padded maps tensor (the layout
+    kernels/lowmaps_pallas.py emits) — skips the (4, D, h, w) stack+pad
+    copy of the tuple entry point (~700 MB per view at 2K/d=256)."""
+    return _fgf_wta_pallas_impl(
+        guide, maps, out_hw=out_hw, d_chunk=d_chunk, interpret=interpret,
+        logical_hw=logical_hw,
+    )
+
+
+def _fgf_wta_pallas_impl(
+    guide, mean_a_r, mean_a_g=None, mean_a_b=None, mean_b=None,
+    out_hw=None, d_chunk=32, interpret=False, logical_hw=None,
+) -> jax.Array:
+    if mean_b is not None:
+        maps = jnp.stack([mean_a_r, mean_a_g, mean_a_b, mean_b], axis=0)
+        h, w = mean_b.shape[-2:]
+    else:
+        maps = mean_a_r          # pre-stacked (4, D, HP, WP)
+        h, w = logical_hw
     H, W = out_hw
-    D, h, w = mean_b.shape
+    D = maps.shape[1]
     DC = min(d_chunk, D)
     if D % DC:
         raise ValueError(f"D={D} not divisible by chunk {DC}")
@@ -208,20 +247,31 @@ def _fgf_wta_pallas_impl(
                   - (sy[np.arange(nty) * TILE_H] // 8) * 8).max()) + 2
     RS = _round_up(8 + span_r, 8)
     row_start = ((sy[np.arange(nty) * TILE_H] // 8) * 8).astype(np.int32)
-    ry_rel = (sy - np.repeat(row_start, TILE_H)).astype(np.float32)
 
     col_base = (sx[np.arange(ntx) * TILE_W] // 128) * 128
     span_c = int((sx[np.minimum(np.arange(ntx) * TILE_W + TILE_W - 1, wp - 1)]
                   - col_base).max()) + 2
     CS = _round_up(span_c, 128)
     col_start = col_base.astype(np.int32)
-    cx_rel = (sx - np.repeat(col_start, TILE_W)).astype(np.float32)
 
-    # pad the low-res maps so every aligned (RS, CS) window is in bounds
     hpad = int(row_start.max()) + RS
     wpad = int(col_start.max()) + CS
-    maps = jnp.stack([mean_a_r, mean_a_g, mean_a_b, mean_b], axis=0)
-    maps = jnp.pad(maps, ((0, 0), (0, 0), (0, max(hpad - h, 0)), (0, max(wpad - w, 0))))
+    HPm, WPm = maps.shape[2], maps.shape[3]
+    if HPm >= h + 1 and RS <= HPm and CS <= WPm:
+        # pre-padded maps: clamp every aligned window in-bounds instead of
+        # re-padding. A window that shifts down still covers all weight-
+        # carrying rows/cols; reads past sy+1/cx+1 only ever multiply by
+        # the 0.0 weight the clamped coeff tables produce (and the padded
+        # region is zero-filled, never inf/NaN).
+        row_start = np.minimum(row_start, HPm - RS).astype(np.int32)
+        col_start = np.minimum(col_start, WPm - CS).astype(np.int32)
+    else:
+        maps = jnp.pad(
+            maps,
+            ((0, 0), (0, 0), (0, max(hpad - HPm, 0)), (0, max(wpad - WPm, 0))),
+        )
+    ry_rel = (sy - np.repeat(row_start, TILE_H)).astype(np.float32)
+    cx_rel = (sx - np.repeat(col_start, TILE_W)).astype(np.float32)
 
     guide_p = jnp.pad(
         jnp.moveaxis(guide, -1, 0), ((0, 0), (0, hp - H), (0, wp - W))

@@ -110,21 +110,38 @@ def stereo_gif_forward(
     # the filtered full-res volume is reduced to its argmin on the fly
     # (ops/guided_filter.py::fgf_wta_low_maps) — at 2K/d=256 it would
     # otherwise cost 4 x 2.8 GB of HBM per view
-    low = functools.partial(
-        fgf_low_maps, radius=cfg.gif_radius, eps=cfg.gif_eps, subsample=s
-    )
-    ma_l, mb_l = low(l_img, lcv_low)
-    ma_r, mb_r = low(r_img, rcv_low)
     wta_impl = cfg.wta_impl
     if wta_impl == "auto":
         wta_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if wta_impl == "pallas" and cfg.max_dis % min(32, cfg.max_dis) == 0:
-        from primestereomatch_tpu.kernels.wta_pallas import fgf_wta_pallas
+        # fully fused TPU path: the low-res (a, b) chain runs in one Pallas
+        # kernel emitting the maps in the WTA kernel's padded layout — the
+        # maps are written once and DMA'd once (kernels/lowmaps_pallas.py)
+        from primestereomatch_tpu.kernels.lowmaps_pallas import fgf_low_maps_pallas
+        from primestereomatch_tpu.kernels.wta_pallas import (
+            fgf_wta_pallas_maps,
+            wta_maps_min_wp,
+        )
 
+        h, w = lcv_low.shape[-2:]
+        wp = wta_maps_min_wp(h, w, H, W)
+        lowm = functools.partial(
+            fgf_low_maps_pallas, radius=cfg.gif_radius, eps=cfg.gif_eps,
+            subsample=s, out_wp=wp,
+        )
         dc = min(32, cfg.max_dis)
-        l_disp = fgf_wta_pallas(l_img, *ma_l, mb_l, (H, W), d_chunk=dc)
-        r_disp = fgf_wta_pallas(r_img, *ma_r, mb_r, (H, W), d_chunk=dc)
+        l_disp = fgf_wta_pallas_maps(
+            l_img, lowm(l_img, lcv_low), (h, w), (H, W), d_chunk=dc
+        )
+        r_disp = fgf_wta_pallas_maps(
+            r_img, lowm(r_img, rcv_low), (h, w), (H, W), d_chunk=dc
+        )
     else:
+        low = functools.partial(
+            fgf_low_maps, radius=cfg.gif_radius, eps=cfg.gif_eps, subsample=s
+        )
+        ma_l, mb_l = low(l_img, lcv_low)
+        ma_r, mb_r = low(r_img, rcv_low)
         # single chunk (the fully-unrolled fast path) while the upsampled
         # tensors stay small; chunk to bound memory at big sizes (2K/d=256
         # would need 4 x 2.8 GB per view otherwise)

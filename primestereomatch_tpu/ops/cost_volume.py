@@ -117,14 +117,19 @@ def build_cost_volumes_sampled(
 
     Bitwise-identical to resize_nearest(build_cost_volumes(...)) but never
     materializes (or even computes) the full-resolution volume: 1/s^2 of
-    the work, and the sampled shifts are static gathers XLA folds into
-    the fused slice math. Returns ((D, h, w), (D, h, w))."""
+    the work. When the column grid is an exact stride (W % s == 0, the
+    2K/HD720 case), the per-disparity shifted views are STATIC SLICES of s
+    polyphase planes instead of gathers — d = s*q + r samples column
+    s*(j - q) - r, i.e. polyphase plane r shifted by q whole low-res
+    pixels — so the whole construction lowers to fused slice+FMA with no
+    gather units on the hot path. Returns ((D, h, w), (D, h, w))."""
     import numpy as np
 
     H, W, _ = l_img.shape
     dt = l_img.dtype
     yi = np.asarray(yi)
     xi = np.asarray(xi)
+    w = len(xi)
 
     def pcost(a_img, b_img, a_grd, b_grd):
         return _pair_cost(a_img, b_img, a_grd, b_grd, alpha, tau1, tau2)
@@ -148,6 +153,45 @@ def build_cost_volumes_sampled(
     xs = jnp.asarray(xi)[None, :]
     l_slices = []
     r_slices = []
+
+    s = W // w
+    strided = W % w == 0 and np.array_equal(xi, np.arange(w) * s)
+    if strided:
+        h = len(yi)
+        qmax = (max_dis - 1) // s
+        # polyphase planes: bundle image+gradient as 4 channels so every
+        # slice below is shared. resh[:, j, r] = column s*j + r.
+        r4 = jnp.concatenate([r_rows, rg_rows[..., None]], axis=-1)
+        l4 = jnp.concatenate([l_rows, lg_rows[..., None]], axis=-1)
+        r4 = r4.reshape(h, w, s, 4)
+        l4 = l4.reshape(h, w, s, 4)
+
+        # left volume: column s*j - d = s*(j-q) - r.
+        #   r = 0: plane resh[:, j-q, 0]
+        #   r > 0: plane resh[:, j-q-1, s-r]
+        # masked lanes (s*j < d) get l_border, so left padding is arbitrary.
+        def lplane(r):
+            if r == 0:
+                p = r4[:, :, 0]
+            else:
+                p = jnp.concatenate([r4[:, :1, s - r], r4[:, :-1, s - r]], axis=1)
+            return jnp.pad(p, ((0, 0), (qmax, 0), (0, 0)))
+
+        # right volume: column s*j + d = s*(j+q) + r -> plane resh[:, j+q, r]
+        def rplane(r):
+            return jnp.pad(l4[:, :, r], ((0, 0), (0, qmax), (0, 0)))
+
+        lp = [lplane(r) for r in range(s)]
+        rp = [rplane(r) for r in range(s)]
+        for d in range(max_dis):
+            q, r = divmod(d, s)
+            pl_ = jax.lax.slice_in_dim(lp[r], qmax - q, qmax - q + w, axis=1)
+            cl = pcost(l_s, pl_[..., :3], lg_s, pl_[..., 3])
+            l_slices.append(jnp.where(xs >= d, cl, l_border))
+            pr_ = jax.lax.slice_in_dim(rp[r], q, q + w, axis=1)
+            cr = pcost(r_s, pr_[..., :3], rg_s, pr_[..., 3])
+            r_slices.append(jnp.where(xs < W - d, cr, r_border))
+        return jnp.stack(l_slices), jnp.stack(r_slices)
 
     for d in range(max_dis):
         xb = np.clip(xi - d, 0, W - 1)      # static per-d column sample

@@ -103,3 +103,49 @@ def test_fgf_wta_pallas_vmap(rng):
             guide[b], *ma, mb, (H, W), d_chunk=8, interpret=True
         ))
         np.testing.assert_array_equal(out[b], ref)
+
+
+@pytest.mark.parametrize("H,W,D,s", [(128, 256, 16, 4), (96, 192, 8, 2), (64, 256, 8, 8)])
+def test_lowmaps_pallas_matches_jnp(rng, H, W, D, s):
+    """Fused low-res FGF chain == ops/guided_filter.py::fgf_low_maps up to
+    float summation order, and the maps layout feeds fgf_wta_pallas_maps
+    with identical disparities vs the XLA fgf_wta_low_maps path."""
+    from primestereomatch_tpu.kernels.lowmaps_pallas import fgf_low_maps_pallas
+    from primestereomatch_tpu.kernels.wta_pallas import (
+        fgf_wta_pallas_maps,
+        wta_maps_min_wp,
+    )
+    from primestereomatch_tpu.ops.guided_filter import fgf_low_maps, fgf_wta_low_maps
+
+    h, w = H // s, W // s
+    g = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+    p = jnp.asarray(rng.random((D, h, w)).astype(np.float32))
+    ma, mb = fgf_low_maps(g, p, 8, 1e-4, s)
+    want = np.stack([np.asarray(t) for t in (*ma, mb)])
+    wp = wta_maps_min_wp(h, w, H, W)
+    got = np.asarray(
+        fgf_low_maps_pallas(g, p, 8, 1e-4, s, out_wp=wp, interpret=True)
+    )
+    assert np.allclose(got[:, :, :h, :w], want, atol=5e-5, rtol=1e-3)
+    assert np.all(np.isfinite(got))
+    assert np.all(got[:, :, :, w:] == 0)  # WTA reads zero-weight cols as 0
+
+    d_kernel = np.asarray(fgf_wta_pallas_maps(
+        g, jnp.asarray(got), (h, w), (H, W), d_chunk=min(8, D), interpret=True
+    ))
+    d_xla = np.asarray(fgf_wta_low_maps(g, ma, mb, (H, W), d_chunk=D))
+    assert (d_kernel != d_xla).mean() <= 2e-3
+
+
+def test_lowmaps_pallas_vmap(rng):
+    from primestereomatch_tpu.kernels.lowmaps_pallas import fgf_low_maps_pallas
+    import jax
+
+    B, H, W, D, s = 2, 64, 128, 8, 4
+    g = jnp.asarray(rng.random((B, H, W, 3)).astype(np.float32))
+    p = jnp.asarray(rng.random((B, D, H // s, W // s)).astype(np.float32))
+    fn = lambda gg, pp: fgf_low_maps_pallas(gg, pp, 8, 1e-4, s, interpret=True)
+    batched = np.asarray(jax.vmap(fn)(g, p))
+    for i in range(B):
+        single = np.asarray(fn(g[i], p[i]))
+        np.testing.assert_array_equal(batched[i], single)
