@@ -15,11 +15,11 @@ Layout contract (designed to feed kernels/wta_pallas.py directly):
     overlapping row tiles (n_tiles, D, TH+2M, w+2M) — so every in-kernel
     slice is static and the kernel is pure VALID box math (no edge logic);
   * the output is the STACKED maps tensor (4, D, HP, WP) with
-    HP = n_tiles*TH >= h and WP >= w rounded to 128 lanes — exactly the
-    padded layout fgf_wta_pallas_maps DMAs from, so the maps never get
-    re-padded (at 2K that jnp.pad alone copies ~700 MB per view). Columns
-    >= w are zero; rows >= h are finite reflect-spill values (the WTA
-    consumer only ever reads them with 0.0 interpolation weight).
+    HP = n_tiles*TH >= h and WP = round_up(w, 128) — exactly the padded
+    layout fgf_wta_pallas_maps DMAs from (it clamps its aligned windows
+    in-bounds), so the maps never get re-padded (at 2K that jnp.pad alone
+    copies ~700 MB per view). Rows >= h / cols >= w hold finite junk the
+    WTA consumer only ever reads with 0.0 interpolation weight.
 
 Numerics: the box sums are sequential 5-tap (k-tap) adds; the XLA path's
 reduce_window may sum the same window in a different order, so agreement
@@ -67,47 +67,43 @@ def _lowmaps_kernel(
     p_blk,        # (1, DC, TI, WI)  cost block (pre-padded tile)
     stat_blk,     # (1, 12, TI, WI)  ch_low(3) means(3) inv(6), same tile
     out_ref,      # (4, DC, TH, WO)  [a_r, a_g, a_b, b] box-averaged
-    *, k: int, DC: int, w: int,
+    *, k: int, DC: int,
 ):
-    M = 2 * (k // 2)
+    # WI = WO + 2M: the box output is naturally full block width, so no
+    # in-kernel concat/pad is ever needed (Mosaic rejects lane-dim concats
+    # of mismatched layouts). Columns beyond the logical w are finite junk
+    # the WTA consumer only reads with 0.0 weight.
     m1 = k // 2
     inv_k2 = 1.0 / (k * k)
     TI = p_blk.shape[2]
     WI = p_blk.shape[3]
-    WO = out_ref.shape[3]
 
     ch = stat_blk[0, 0:3]                       # (3, TI, WI)
-    # stats are consumed at the mid domain (TH+2*m1, w+2*m1)
+    # stats are consumed at the mid domain (TH+2*m1, WO+2*m1)
     mid_r = (m1, TI - m1)
     mid_c = (m1, WI - m1)
     mean_r = stat_blk[0, 3:6, mid_r[0]:mid_r[1], mid_c[0]:mid_c[1]]
     inv6 = stat_blk[0, 6:12, mid_r[0]:mid_r[1], mid_c[0]:mid_c[1]]
 
-    pad_c = WO - w
-    zeros_pad = jnp.zeros((DC, TH, pad_c), jnp.float32)
-
-    outs = []
-    for quadrant in range(1):  # structural no-op; keeps the body flat
-        p = p_blk[0]                             # (DC, TI, WI)
-        mp = _box_valid(p, k, inv_k2)            # (DC, TI-2m1, WI-2m1)
-        mIp = [
-            _box_valid(ch[c][None] * p, k, inv_k2) for c in range(3)
-        ]
-        cov = [mIp[c] - mean_r[c][None] * mp for c in range(3)]
-        a_r = inv6[0][None] * cov[0] + inv6[1][None] * cov[1] + inv6[2][None] * cov[2]
-        a_g = inv6[1][None] * cov[0] + inv6[3][None] * cov[1] + inv6[4][None] * cov[2]
-        a_b = inv6[2][None] * cov[0] + inv6[4][None] * cov[1] + inv6[5][None] * cov[2]
-        b = (
-            mp
-            - a_r * mean_r[0][None]
-            - a_g * mean_r[1][None]
-            - a_b * mean_r[2][None]
-        )
-        for i, t in enumerate((a_r, a_g, a_b, b)):
-            o = _box_valid(t, k, inv_k2)         # (DC, TH, w)
-            outs.append(jnp.concatenate([o, zeros_pad], axis=-1))
-
-    out_ref[:] = jnp.stack(outs, axis=0)
+    p = p_blk[0]                                 # (DC, TI, WI)
+    mp = _box_valid(p, k, inv_k2)                # (DC, TI-2m1, WI-2m1)
+    mIp = [
+        _box_valid(ch[c][None] * p, k, inv_k2) for c in range(3)
+    ]
+    cov = [mIp[c] - mean_r[c][None] * mp for c in range(3)]
+    a_r = inv6[0][None] * cov[0] + inv6[1][None] * cov[1] + inv6[2][None] * cov[2]
+    a_g = inv6[1][None] * cov[0] + inv6[3][None] * cov[1] + inv6[4][None] * cov[2]
+    a_b = inv6[2][None] * cov[0] + inv6[4][None] * cov[1] + inv6[5][None] * cov[2]
+    b = (
+        mp
+        - a_r * mean_r[0][None]
+        - a_g * mean_r[1][None]
+        - a_b * mean_r[2][None]
+    )
+    # per-map stores keep the VMEM live set small (a jnp.stack would hold
+    # all four boxed maps plus the stacked copy at once)
+    for i, t in enumerate((a_r, a_g, a_b, b)):
+        out_ref[i] = _box_valid(t, k, inv_k2)
 
 
 @functools.partial(
@@ -124,7 +120,7 @@ def fgf_low_maps_pallas(
 ) -> jax.Array:
     """Fused fgf_low_maps: returns STACKED maps (4, D, HP, WP) f32
     ([mean_a_r, mean_a_g, mean_a_b, mean_b]) where HP = ceil(h/TH)*TH and
-    WP = max(round_up(w, 128), out_wp); the region outside (h, w) is zero.
+    WP = max(round_up(w, 128), out_wp); outside (h, w) is finite junk.
     Feed directly to fgf_wta_pallas_maps(..., logical_hw=(h, w)).
     vmap-able: frames dispatch sequentially (see kernels/wta_pallas.py)."""
 
@@ -164,9 +160,11 @@ def _fgf_low_maps_pallas_impl(
     WP = _round_up(w, 128)
     if out_wp is not None:
         WP = max(WP, out_wp)
-    WI = w + 2 * M
+    # WI = WP + 2M: the in-kernel VALID box output is then naturally WP
+    # lanes wide (no lane-dim concat, which Mosaic rejects)
+    WI = WP + 2 * M
     TI = TH + 2 * M
-    DC = min(8, D)
+    DC = min(4, D)
     while D % DC:
         DC //= 2
     n_dc = D // DC
@@ -177,23 +175,24 @@ def _fgf_low_maps_pallas_impl(
     stats = jnp.stack([*ch_low, *means, *inv], axis=0)     # (12, h, w)
 
     # ---- pad: reflect-101 margins (box semantics), then zero/edge fill ----
-    def pad_hw(x, extra_rows, mode_extra):
+    def pad_hw(x, extra_rows, extra_cols, mode_extra):
         x = jnp.pad(
             x,
             [(0, 0)] * (x.ndim - 2) + [(M, M), (M, M)],
             mode="reflect",
         )
-        if extra_rows:
+        if extra_rows or extra_cols:
             x = jnp.pad(
                 x,
-                [(0, 0)] * (x.ndim - 2) + [(0, extra_rows), (0, 0)],
+                [(0, 0)] * (x.ndim - 2) + [(0, extra_rows), (0, extra_cols)],
                 mode=mode_extra,
             )
         return x
 
-    extra = HP - h
-    p_pad = pad_hw(p_low, extra, "constant")        # garbage rows -> finite 0s
-    stats_pad = pad_hw(stats, extra, "edge")        # keep inv/det finite
+    extra_r = HP - h
+    extra_c = WP - w
+    p_pad = pad_hw(p_low, extra_r, extra_c, "constant")  # garbage -> finite 0s
+    stats_pad = pad_hw(stats, extra_r, extra_c, "edge")  # keep inv/det finite
 
     # ---- overlapping row tiles (static concat; fused with the producer) ---
     p_tiles = jnp.stack(
@@ -205,7 +204,7 @@ def _fgf_low_maps_pallas_impl(
          for i in range(n_tiles)]
     )                                               # (n_tiles, 12, TI, WI)
 
-    kernel = functools.partial(_lowmaps_kernel, k=k, DC=DC, w=w)
+    kernel = functools.partial(_lowmaps_kernel, k=k, DC=DC)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles, n_dc),

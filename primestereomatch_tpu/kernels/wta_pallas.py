@@ -182,25 +182,10 @@ def fgf_wta_pallas(
     return run(guide, mean_a_r, mean_a_g, mean_a_b, mean_b)
 
 
-def wta_maps_min_wp(h: int, w: int, H: int, W: int) -> int:
-    """Minimum padded lane width for a pre-stacked maps tensor so that
-    `fgf_wta_pallas_maps` can DMA every aligned column window in-bounds
-    without re-padding (producers: kernels/lowmaps_pallas.py)."""
-    wp = _round_up(W, TILE_W)
-    sx, _ = linear_coeffs(w, W)
-    sx = np.concatenate([sx, np.full(wp - W, sx[-1])])
-    ntx = wp // TILE_W
-    col_base = (sx[np.arange(ntx) * TILE_W] // 128) * 128
-    span_c = int((sx[np.minimum(np.arange(ntx) * TILE_W + TILE_W - 1, wp - 1)]
-                  - col_base).max()) + 2
-    CS = _round_up(span_c, 128)
-    return int(col_base.max()) + CS
-
-
 def fgf_wta_pallas_maps(
     guide: jax.Array,          # (H, W, 3) float32
     maps: jax.Array,           # (4, D, HP, WP) STACKED [a_r, a_g, a_b, b],
-                               # zero-filled outside the logical (h, w)
+                               # finite junk outside the logical (h, w)
     logical_hw: tuple[int, int],
     out_hw: tuple[int, int],
     d_chunk: int = 32,
@@ -257,12 +242,13 @@ def _fgf_wta_pallas_impl(
     hpad = int(row_start.max()) + RS
     wpad = int(col_start.max()) + CS
     HPm, WPm = maps.shape[2], maps.shape[3]
-    if HPm >= h + 1 and RS <= HPm and CS <= WPm:
+    if HPm >= h and RS <= HPm and CS <= WPm:
         # pre-padded maps: clamp every aligned window in-bounds instead of
-        # re-padding. A window that shifts down still covers all weight-
-        # carrying rows/cols; reads past sy+1/cx+1 only ever multiply by
-        # the 0.0 weight the clamped coeff tables produce (and the padded
-        # region is zero-filled, never inf/NaN).
+        # re-padding. A clamped window always covers all weight-carrying
+        # rows/cols (relative index <= size-1 by construction); reads past
+        # sy+1/cx+1 only ever multiply by the 0.0 weight the clamped coeff
+        # tables produce, and the padded region is finite (never inf/NaN),
+        # so 0.0 * junk contributes exactly 0 to the banded matmul.
         row_start = np.minimum(row_start, HPm - RS).astype(np.int32)
         col_start = np.minimum(col_start, WPm - CS).astype(np.int32)
     else:

@@ -118,16 +118,12 @@ def stereo_gif_forward(
         # kernel emitting the maps in the WTA kernel's padded layout — the
         # maps are written once and DMA'd once (kernels/lowmaps_pallas.py)
         from primestereomatch_tpu.kernels.lowmaps_pallas import fgf_low_maps_pallas
-        from primestereomatch_tpu.kernels.wta_pallas import (
-            fgf_wta_pallas_maps,
-            wta_maps_min_wp,
-        )
+        from primestereomatch_tpu.kernels.wta_pallas import fgf_wta_pallas_maps
 
         h, w = lcv_low.shape[-2:]
-        wp = wta_maps_min_wp(h, w, H, W)
         lowm = functools.partial(
             fgf_low_maps_pallas, radius=cfg.gif_radius, eps=cfg.gif_eps,
-            subsample=s, out_wp=wp,
+            subsample=s,
         )
         dc = min(32, cfg.max_dis)
         l_disp = fgf_wta_pallas_maps(

@@ -34,12 +34,13 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from primestereomatch_tpu.config import SGBMConfig
 
 # large-but-safe sentinel (never participates in sums beyond one add)
-_BIG = jnp.int32(1 << 28)
+_BIG = np.int32(1 << 28)  # plain numpy: module import must not initialize the backend
 DISP_SCALE = 16  # OpenCV StereoMatcher::DISP_SCALE fixed-point factor
 
 
