@@ -147,6 +147,14 @@ class StereoMatchApp:
             raise ValueError(alg)
         self.cfg.alg = alg
 
+    def toggle_sgbm_mode(self) -> str:
+        """'m' key: cycle SGBM mode MODE_HH -> MODE_SGBM -> MODE_SGBM_3WAY
+        (src/main.cpp:161-163). Returns the new mode. jit caches per
+        num_directions, so revisited modes re-dispatch without recompiling."""
+        nxt = {"hh": "sgbm", "sgbm": "3way", "3way": "hh"}[self.sgbm_cfg.mode]
+        self.sgbm_cfg = dataclasses.replace(self.sgbm_cfg, mode=nxt)
+        return nxt
+
     def set_subsample(self, s: int):
         """'s' key: FGF subsample rate 2/4/8 (src/main.cpp:186-193)."""
         self.cfg.subsample = s

@@ -86,12 +86,18 @@ class SGBMConfig:
     uniqueness_ratio: int = 10
     speckle_window_size: int = 100
     speckle_range: int = 32
-    mode: str = "hh"             # MODE_HH: 8 aggregation directions
+    mode: str = "hh"             # hh | sgbm | 3way ('m' key cycle, main.cpp:161-163)
     num_channels: int = 3
 
     @property
     def num_directions(self) -> int:
-        return 8 if self.mode == "hh" else 5
+        """MODE_HH = 8 directions, MODE_SGBM = the causal 5,
+        MODE_SGBM_3WAY = {W->E, E->W, N->S} (the direction set OpenCV's
+        SGBM3WayMainLoop aggregates; reference toggle src/main.cpp:161-163)."""
+        try:
+            return {"hh": 8, "sgbm": 5, "3way": 3}[self.mode]
+        except KeyError:
+            raise ValueError(f"unknown SGBM mode {self.mode!r}") from None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -11,7 +11,13 @@ from primestereomatch_tpu.ops.guided_filter import (  # noqa: F401
     guided_filter_color,
 )
 from primestereomatch_tpu.ops.wta import wta_disparity  # noqa: F401
-from primestereomatch_tpu.ops.jointwmf import joint_wmf, feature_weight_table  # noqa: F401
+from primestereomatch_tpu.ops.jointwmf import (  # noqa: F401
+    feature_weight_table,
+    from32f_to_32s,
+    from32s_to_32f,
+    joint_wmf,
+    joint_wmf_float,
+)
 from primestereomatch_tpu.ops.postproc import (  # noqa: F401
     lr_check,
     fill_invalid,

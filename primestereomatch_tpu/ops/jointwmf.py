@@ -57,7 +57,8 @@ def _median_from_hist(hist: jax.Array) -> jax.Array:
     cum = jnp.cumsum(hist, axis=0)
     half = cum[-1] * 0.5
     crossed = cum >= half[None]
-    return jnp.argmax(crossed, axis=0).astype(jnp.uint8)
+    out = jnp.argmax(crossed, axis=0)
+    return out.astype(jnp.uint8 if hist.shape[0] <= 256 else jnp.int32)
 
 
 def joint_wmf(
@@ -126,3 +127,112 @@ def joint_wmf(
     hist0 = jnp.zeros((n_bins, H, W), jnp.float32)
     hist = jax.lax.fori_loop(0, win * win, body, hist0)
     return _median_from_hist(hist)
+
+
+# --- float-input path: adaptive quantization ------------------------------
+# Reference: include/JointWMF.h:670-775 (from32FTo32S / from32STo32F) — a
+# CV_32F input is adaptively quantized to <= nI integer levels before
+# filterCore and mapped back through the per-level median values after.
+# Like the reference, this is host-side per-frame preprocessing (it sorts
+# the whole image); the filter itself stays on device.
+
+
+def from32f_to_32s(
+    img: np.ndarray, n_levels: int = 256
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Adaptive quantization of a float32 image to integer level indexes.
+
+    Reproduces the reference contract (include/JointWMF.h:670-745): binary
+    search (threshold 1e-5, float32 arithmetic) for the smallest error
+    bound m such that greedily clustering the sorted pixel values — a new
+    cluster whenever a value exceeds (cluster base + m) — needs at most
+    `n_levels` clusters; each pixel maps to its cluster index and each
+    cluster to the median of its values.
+
+    Formulated as a searchsorted boundary chain over the sorted values
+    (each cluster boundary found in O(log N)) instead of the reference's
+    linear walk, so a count/assign pass is O(n_levels log N), not O(N).
+
+    Returns (index image int32, mapping float32 (n_levels,), n_used).
+    mapping[k] for k >= n_used is padding (repeats the last used value).
+    """
+    flat = np.ascontiguousarray(img, dtype=np.float32).ravel()
+    n = flat.size
+    order = np.argsort(flat, kind="stable")
+    v = flat[order]
+    max_range = np.float32(v[-1] - v[0])
+    th = np.float32(1e-5)
+
+    def boundaries(m: np.float32, cap: int) -> list[int] | None:
+        """Start indices of clusters 1..K-1 under bound m; None if > cap
+        clusters would be needed (the reference's suc=false)."""
+        starts: list[int] = []
+        i = int(np.searchsorted(v, np.float32(v[0] + m), side="right"))
+        while i < n:
+            if len(starts) + 1 == cap:
+                return None
+            starts.append(i)
+            i = int(np.searchsorted(v, np.float32(v[i] + m), side="right"))
+        return starts
+
+    lo = np.float32(0)
+    hi = np.float32(max_range * np.float32(2.0) / np.float32(n_levels))
+    while hi - lo > th:
+        m = np.float32((hi + lo) * np.float32(0.5))
+        if boundaries(m, n_levels) is not None:
+            hi = m
+        else:
+            lo = m
+
+    starts = boundaries(hi, n_levels + 1)
+    assert starts is not None
+    edges = np.asarray([0, *starts, n], dtype=np.int64)
+    n_used = len(edges) - 1
+    # per-cluster median value: sorted element at (start + next_start - 1) >> 1
+    mapping = np.empty(n_levels, np.float32)
+    mapping[:n_used] = v[(edges[:-1] + edges[1:] - 1) >> 1]
+    mapping[n_used:] = mapping[n_used - 1]
+    # cluster id of sorted position j = #boundaries <= j
+    ids_sorted = np.searchsorted(edges[1:-1], np.arange(n), side="right")
+    idx = np.empty(n, np.int32)
+    idx[order] = ids_sorted
+    return idx.reshape(img.shape), mapping, n_used
+
+
+def from32s_to_32f(idx: np.ndarray, mapping: np.ndarray) -> np.ndarray:
+    """Map quantization indexes back to float32 values
+    (include/JointWMF.h:751-775)."""
+    return mapping.astype(np.float32)[idx]
+
+
+def joint_wmf_float(
+    disp_f32,                          # (H, W) float32 disparities (host/np)
+    guide_u8: jax.Array | None = None,
+    *,
+    radius: int = 9,
+    n_levels: int = 256,
+    sigma: float = 25.5,
+    findex: jax.Array | None = None,
+    wmap: jax.Array | None = None,
+    valid: jax.Array | None = None,
+) -> jax.Array:
+    """Weighted median of a FLOAT disparity/depth map (reference CV_32F
+    input branch, include/JointWMF.h:94-143): adaptively quantize to
+    <= n_levels indexes, filter the index image on device, map the median
+    indexes back to float values. Returns (H, W) float32.
+
+    The quantization is data-dependent (it sorts the image), so this
+    entry point is eager — call it outside jit, like the reference calls
+    from32FTo32S on the host before its filter loop.
+    """
+    if isinstance(disp_f32, jax.core.Tracer):
+        raise TypeError(
+            "joint_wmf_float quantizes on the host (data-dependent level "
+            "boundaries) and cannot be traced under jit; call it eagerly"
+        )
+    idx, mapping, _ = from32f_to_32s(np.asarray(disp_f32), n_levels)
+    med = joint_wmf(
+        jnp.asarray(idx), guide_u8, radius=radius, n_bins=n_levels,
+        sigma=sigma, findex=findex, wmap=wmap, valid=valid,
+    )
+    return jnp.asarray(mapping)[med.astype(jnp.int32)]

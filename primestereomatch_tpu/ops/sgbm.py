@@ -208,8 +208,10 @@ def aggregate(cost: jax.Array, p1: int, p2: int, num_directions: int = 8) -> jax
 
     cost: (H, W, D) int32 window cost. num_directions: 8 (MODE_HH,
     the reference setting src/StereoMatch.cpp:656) aggregates W<->E, N<->S
-    and both diagonals both ways; 5 (MODE_SGBM-like) uses the causal set
-    {W->E, E->W, N->S, NW->SE, NE->SW}.
+    and both diagonals both ways; 5 (MODE_SGBM) uses the causal set
+    {W->E, E->W, N->S, NW->SE, NE->SW}; 3 (MODE_SGBM_3WAY, the 'm'-key
+    cycle src/main.cpp:161-163) uses {W->E, E->W, N->S} — the direction
+    set OpenCV's SGBM3WayMainLoop aggregates.
 
     The 8 directions ride 3 scans: W->E and E->W share one x-scan (the
     E->W lane consumes the x-flipped volume), and the three downward /
@@ -217,14 +219,18 @@ def aggregate(cost: jax.Array, p1: int, p2: int, num_directions: int = 8) -> jax
     each. Integer arithmetic makes the direction summation order exact.
     """
     H, W, D = cost.shape
-    if num_directions not in (5, 8):
-        raise ValueError(f"num_directions must be 5 or 8, got {num_directions}")
+    if num_directions not in (3, 5, 8):
+        raise ValueError(f"num_directions must be 3, 5 or 8, got {num_directions}")
 
     cw = jnp.transpose(cost, (1, 0, 2))  # (W, H, D) — x-scans
     x_pair = jnp.stack([cw, jnp.flip(cw, axis=0)], axis=1)  # (W, 2, H, D)
     Lx = _dp_line_stack(x_pair, p1, p2, (0, 0))
     S = jnp.transpose(Lx[:, 0], (1, 0, 2))                      # W -> E
     S = S + jnp.transpose(jnp.flip(Lx[:, 1], axis=0), (1, 0, 2))  # E -> W
+
+    if num_directions == 3:
+        Ld = _dp_line_stack(cost[:, None], p1, p2, (0,))
+        return S + Ld[:, 0]                                 # N->S only
 
     down = jnp.stack([cost, cost, cost], axis=1)            # (H, 3, W, D)
     Ld = _dp_line_stack(down, p1, p2, (0, 1, -1))

@@ -102,7 +102,7 @@ def _dp_dir(C: np.ndarray, p1: int, p2: int, dy: int, dx: int) -> np.ndarray:
 
 def aggregate(C: np.ndarray, p1: int, p2: int, num_directions: int = 8) -> np.ndarray:
     dirs8 = [(0, 1), (0, -1), (1, 0), (1, 1), (1, -1), (-1, 0), (-1, -1), (-1, 1)]
-    dirs = dirs8 if num_directions == 8 else dirs8[:5]
+    dirs = dirs8[:num_directions]  # 8=MODE_HH, 5=MODE_SGBM causal, 3=3WAY
     S = np.zeros_like(C)
     for dy, dx in dirs:
         S += _dp_dir(C, p1, p2, dy, dx)

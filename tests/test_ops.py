@@ -20,8 +20,14 @@ from primestereomatch_tpu.ops import (
     fill_invalid,
     weighted_median,
 )
-from primestereomatch_tpu.ops.jointwmf import feature_weight_table
+from primestereomatch_tpu.ops.jointwmf import (
+    feature_weight_table,
+    from32f_to_32s,
+    from32s_to_32f,
+    joint_wmf_float,
+)
 
+import jax
 import oracle
 
 
@@ -139,6 +145,91 @@ def test_joint_wmf_table_matches_oracle(rng):
         findex=jnp.asarray(findex), wmap=jnp.asarray(wmap),
     ))
     np.testing.assert_array_equal(got, want)
+
+
+def _from32f_oracle(img: np.ndarray, n_levels: int):
+    """Linear-walk oracle of the reference's from32FTo32S
+    (include/JointWMF.h:670-745): element-by-element greedy clustering,
+    structurally unlike the library's searchsorted boundary chain."""
+    flat = img.astype(np.float32).ravel()
+    order = np.argsort(flat, kind="stable")
+    v = flat[order]
+    minv = np.float32(v[0])
+    max_range = np.float32(v[-1] - minv)
+
+    def count_ok(m):
+        base, cnt = minv, 0
+        for x in v:
+            if x > np.float32(base + m):
+                cnt += 1
+                base = x
+                if cnt == n_levels:
+                    return False
+        return True
+
+    lo, hi = np.float32(0), np.float32(max_range * np.float32(2.0) / np.float32(n_levels))
+    while hi - lo > np.float32(1e-5):
+        m = np.float32((hi + lo) * np.float32(0.5))
+        if count_ok(m):
+            hi = m
+        else:
+            lo = m
+
+    mapping = np.zeros(n_levels, np.float32)
+    idx_sorted = np.zeros(v.size, np.int64)
+    base, base_i, cnt = minv, 0, 0
+    for i in range(v.size + 1):
+        if i == v.size or v[i] > np.float32(base + hi):
+            mapping[cnt] = v[(base_i + i - 1) >> 1]
+            if i == v.size:
+                break
+            cnt += 1
+            base, base_i = v[i], i
+        idx_sorted[i] = cnt
+    idx = np.zeros(v.size, np.int32)
+    idx[order] = idx_sorted
+    return idx.reshape(img.shape), mapping, cnt + 1
+
+
+@pytest.mark.parametrize("n_levels", [8, 64])
+def test_from32f_quantization_matches_reference_walk(rng, n_levels):
+    img = (rng.random((40, 50), dtype=np.float32) * 63.0) ** 1.5
+    idx, mapping, n_used = from32f_to_32s(img, n_levels)
+    widx, wmap_, wn = _from32f_oracle(img, n_levels)
+    assert n_used == wn
+    np.testing.assert_array_equal(idx, widx)
+    np.testing.assert_array_equal(mapping[:n_used], wmap_[:wn])
+    # round trip: quantization error bounded by the found bound (<= 2*range/nI)
+    rt = from32s_to_32f(idx, mapping)
+    bound = 2.0 * (img.max() - img.min()) / n_levels + 1e-5
+    assert np.abs(rt - img).max() <= bound
+
+
+def test_from32f_constant_image(rng):
+    img = np.full((9, 11), 3.25, np.float32)
+    idx, mapping, n_used = from32f_to_32s(img, 16)
+    assert n_used == 1 and np.all(idx == 0) and mapping[0] == np.float32(3.25)
+
+
+def test_joint_wmf_float_roundtrip(teddy, rng):
+    """Float path == uint8 path when the float input is already integral
+    (every distinct value gets its own level, mapping is the identity)."""
+    guide = teddy.left_bgr[:24, :30]
+    disp = rng.integers(0, 16, size=(24, 30), dtype=np.uint8)
+    want = np.asarray(joint_wmf(
+        jnp.asarray(disp), jnp.asarray(guide), radius=3, n_bins=16,
+    ))
+    got = np.asarray(joint_wmf_float(
+        disp.astype(np.float32), jnp.asarray(guide), radius=3, n_levels=16,
+    ))
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+
+
+def test_joint_wmf_float_rejects_tracing():
+    with pytest.raises(TypeError, match="eagerly"):
+        jax.jit(lambda d: joint_wmf_float(d, jnp.zeros((4, 4, 3), jnp.uint8)))(
+            jnp.zeros((4, 4), jnp.float32)
+        )
 
 
 def test_lr_check_matches_oracle(rng):

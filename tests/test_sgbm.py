@@ -57,7 +57,7 @@ def test_block_cost(pair):
     np.testing.assert_array_equal(got, want)
 
 
-@pytest.mark.parametrize("ndirs", [5, 8])
+@pytest.mark.parametrize("ndirs", [3, 5, 8])
 def test_aggregate(pair, ndirs):
     l, r = pair
     C = oracle.block_cost(
@@ -157,6 +157,27 @@ def test_end_to_end_oracle(pair):
     rf = oracle.clipped_xderiv(r, cfg.pre_filter_cap)
     S = oracle.aggregate(
         oracle.block_cost(oracle.bt_cost(lf, rf, D), K), P1, P2, 8
+    )
+    want = oracle.select_disparity(S, 10, 1, 0)
+    want = oracle.filter_speckles(want, 10, 16 * 2, -16)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("mode", ["sgbm", "3way"])
+def test_end_to_end_oracle_modes(pair, mode):
+    """Full-pipeline bit-exactness for the non-default 'm'-key modes
+    (MODE_SGBM / MODE_SGBM_3WAY, src/main.cpp:161-163)."""
+    l, r = pair
+    cfg = SGBMConfig(
+        num_disparities=D, block_size=K, p1=P1, p2=P2,
+        speckle_window_size=10, speckle_range=2, mode=mode,
+    )
+    got = np.asarray(stereo_sgbm_forward(jnp.asarray(l), jnp.asarray(r), cfg))
+    lf = oracle.clipped_xderiv(l, cfg.pre_filter_cap)
+    rf = oracle.clipped_xderiv(r, cfg.pre_filter_cap)
+    S = oracle.aggregate(
+        oracle.block_cost(oracle.bt_cost(lf, rf, D), K), P1, P2,
+        cfg.num_directions,
     )
     want = oracle.select_disparity(S, 10, 1, 0)
     want = oracle.filter_speckles(want, 10, 16 * 2, -16)
