@@ -59,11 +59,33 @@ def main() -> None:
     dt = min(dts)
 
     fps = 1.0 / dt
+
+    # on-hardware Pallas-vs-XLA equivalence (counts, not ad hoc): the same
+    # pipeline with kernels forced on vs off, identical 'lerp' interpolation
+    # arithmetic — only knife-edge argmin/median ties (last-ulp summation
+    # order) may differ. Counted per stage so a regression is attributable.
+    parity = None
+    if jax.default_backend() == "tpu":
+        def disp(wta, wmf, post):
+            c = GIFConfig(wta_impl=wta, wmf_impl=wmf, upsample_impl="lerp")
+            return np.asarray(
+                stereo_gif_forward(l_img, r_img, c, run_postprocess=post)[0]
+            )
+
+        wta_mm = int((disp("pallas", "jnp", False) != disp("xla", "jnp", False)).sum())
+        wmf_mm = int((disp("xla", "pallas", True) != disp("xla", "jnp", True)).sum())
+        npx = l_img.shape[0] * l_img.shape[1]
+        parity = {"wta_mismatch_px": wta_mm, "wmf_mismatch_px": wmf_mm}
+        # ties move a handful of pixels; anything at the percent level is a
+        # real kernel bug — fail the bench loudly rather than record it
+        assert wta_mm < npx * 0.005 and wmf_mm < npx * 0.005, parity
+
     print(json.dumps({
         "metric": "stereo_gif_fps_teddy_450x375_d64",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "kernel_parity": parity,
     }))
 
 

@@ -145,17 +145,27 @@ class MonoCalibration:
     rms: float
 
 
-def _pack_dist(d5: np.ndarray) -> np.ndarray:
+def _pack_dist(d: np.ndarray) -> np.ndarray:
+    """First len(d) coefficients of the 14-term OpenCV layout
+    (k1, k2, p1, p2, k3, k4, k5, k6, ...)."""
     out = np.zeros((1, 14))
-    out[0, :5] = d5
+    out[0, : len(d)] = d
     return out
+
+
+def _unpack_dist_seg(seg: np.ndarray, n_dist: int) -> np.ndarray:
+    d = np.zeros(max(n_dist, 5))
+    d[:n_dist] = seg
+    return _pack_dist(d)
 
 
 def calibrate_camera(
     object_points: list[np.ndarray],   # per-view (N, 3), Z=0
     image_points: list[np.ndarray],    # per-view (N, 2)
     image_size: tuple[int, int],
-    n_dist: int = 2,                   # distortion terms refined: 2 -> k1,k2; 5 -> +p1,p2,k3
+    n_dist: int = 2,                   # terms refined: 2 -> k1,k2; 5 -> +p1,p2,k3;
+                                       # 8 -> +k4,k5,k6 (CALIB_RATIONAL_MODEL,
+                                       # the reference's flag set src/StereoCalib.cpp:162-171)
 ) -> MonoCalibration:
     Hs = [
         _homography(o[:, :2], i) for o, i in zip(object_points, image_points)
@@ -171,9 +181,7 @@ def calibrate_camera(
 
     def unpack(x):
         Km = np.array([[x[0], 0, x[2]], [0, x[1], x[3]], [0, 0, 1.0]])
-        d5 = np.zeros(5)
-        d5[:n_dist] = x[4 : 4 + n_dist]
-        dist = _pack_dist(d5)
+        dist = _unpack_dist_seg(x[4 : 4 + n_dist], n_dist)
         poses_ = []
         off = 4 + n_dist
         for v in range(nv):
@@ -276,9 +284,7 @@ def stereo_calibrate(
         else:
             def kd(seg):
                 Km = np.array([[seg[0], 0, seg[2]], [0, seg[1], seg[3]], [0, 0, 1.0]])
-                d5 = np.zeros(5)
-                d5[:n_dist] = seg[4:ni]
-                return Km, _pack_dist(d5)
+                return Km, _unpack_dist_seg(seg[4:ni], n_dist)
 
             K1, D1 = kd(x[:ni])
             K2, D2 = kd(x[ni : 2 * ni])

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from primestereomatch_tpu.ops.boxfilter import box_mean
 from primestereomatch_tpu.ops.resize import (
@@ -279,6 +280,91 @@ def fast_guided_filter_color_tile_low(
         + up(mean_a[2]) * ch_full[2][None]
         + up(mean_b)
     )
+
+
+def fgf_wta_tile_low(
+    guide_ext: jax.Array,      # (He, W, 3) extended row tile
+    p_low: jax.Array,          # (Db, He//s, W//s) LOCAL d-block at sample grid
+    radius: int,
+    eps: float,
+    subsample: int,
+    halo: int,
+    global_h: int,
+    is_top: jax.Array,
+    is_bot: jax.Array,
+    d0: jax.Array,             # traced int32: global disparity of p_low[0]
+    interior: tuple[int, int], # (row_start, n_rows) full-res crop of the fold
+    d_chunk: int = 16,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused FGF + upsample + local WTA on a row tile: the sharded analog
+    of `fgf_wta_low_maps` (parallel/sharded.py's match path). Computes the
+    low-res (a, b) chain like `fast_guided_filter_color_tile_low`, then
+    folds q = up(mean_a)·I + up(mean_b) over d-chunks into a running
+    (min, argmin) on the interior rows only — the filtered full-res tile
+    (D_block, He, W) never materializes (at 2K/d=256 with y=2 shards that
+    tensor is ~1.5 GB per view per shard).
+
+    Global disparity d0 + local == 0 never wins (reference WTA starts at
+    d=1, src/DispSel.cpp:96-103); ties keep the lowest disparity (strict-<
+    fold + first-min in-chunk argmin). Returns (min_cost f32, global
+    argmin int32), both (n_rows, W) — bitwise identical to filtering the
+    tile with `fast_guided_filter_color_tile_low`, masking d==0 and
+    min/argmin-ing (verified in tests/test_parallel.py).
+    """
+    He, W, _ = guide_ext.shape
+    s = subsample
+    h, w = He // s, W // s
+    k = 2 * (radius // subsample) + 1
+
+    ch_full = tuple(guide_ext[..., c] for c in range(3))
+    ch_low = tuple(resize_nearest(c, (h, w)) for c in ch_full)
+    means, inv = _color_inverse_cov(ch_low, k, eps)
+    (a_r, a_g, a_b), b = _solve_ab(p_low, ch_low, means, inv, k)
+    mean_a = [box_mean(a, k) for a in (a_r, a_g, a_b)]
+    mean_b = box_mean(b, k)
+
+    glow = global_h // s
+    r0, nr = interior
+    crop = lambda t: lax.slice_in_dim(t, r0, r0 + nr, axis=-2)
+    up = lambda t: crop(
+        _upsample_tile(t, (He, W), s, halo, glow, is_top, is_bot)
+    )
+    chf = tuple(crop(c) for c in ch_full)
+
+    stack = jnp.stack([*mean_a, mean_b], axis=0)   # (4, Db, h, w)
+    Db = stack.shape[1]
+    if Db % d_chunk:
+        d_chunk = Db
+    n_chunks = Db // d_chunk
+    chunks = jnp.moveaxis(
+        stack.reshape(4, n_chunks, d_chunk, h, w), 1, 0
+    )                                              # (n_chunks, 4, dc, h, w)
+    inf = jnp.float32(jnp.inf)
+
+    def body(carry, blk):
+        best, arg, dl = carry                      # dl: local d of blk[,:0]
+        q = (
+            up(blk[0]) * chf[0][None]
+            + up(blk[1]) * chf[1][None]
+            + up(blk[2]) * chf[2][None]
+            + up(blk[3])
+        )
+        d_glob = d0 + dl + jnp.arange(d_chunk, dtype=jnp.int32)
+        q = jnp.where((d_glob == 0)[:, None, None], inf, q)
+        c_min = jnp.min(q, axis=0)
+        c_arg = d_glob[0] + jnp.argmin(q, axis=0).astype(jnp.int32)
+        take = c_min < best                        # strict: earlier d wins ties
+        best = jnp.where(take, c_min, best)
+        arg = jnp.where(take, c_arg, arg)
+        return (best, arg, dl + d_chunk), None
+
+    init = (
+        jnp.full((nr, W), inf, jnp.float32),
+        jnp.zeros((nr, W), jnp.int32),
+        jnp.int32(0),
+    )
+    (best, arg, _), _ = lax.scan(body, init, chunks)
+    return best, arg
 
 
 def fgf_wta_low_maps(

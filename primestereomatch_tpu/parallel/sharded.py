@@ -44,8 +44,8 @@ from primestereomatch_tpu.config import GIFConfig
 from primestereomatch_tpu.ops.color import bgr_to_gray_refquirk, sobel_x_k1
 from primestereomatch_tpu.ops.cost_volume import build_cost_volume_block_sampled
 from primestereomatch_tpu.ops.guided_filter import (
-    fast_guided_filter_color_tile_low,
     fgf_tile_halo,
+    fgf_wta_tile_low,
 )
 from primestereomatch_tpu.ops.jointwmf import joint_wmf
 from primestereomatch_tpu.parallel.mesh import AXIS_BATCH, AXIS_DISP, AXIS_ROWS
@@ -232,7 +232,27 @@ def make_sharded_gif(
     halo = fgf_tile_halo(cfg.gif_radius, cfg.subsample)
     r_wmf = cfg.wmf_radius
 
-    def shard_fn(l_blk: jax.Array, r_blk: jax.Array):
+    if yn == 1 and dn == 1:
+        # batch-only mesh (pure data parallelism, the production serving
+        # shape): no halos or merges are needed, so each shard runs the
+        # single-chip fast path verbatim — including the Pallas lowmaps /
+        # fused-WTA / WMF kernels on TPU — giving sharded == unsharded
+        # per-chip throughput by construction. lax.map (not vmap) keeps
+        # per-frame dispatch, the faster batch strategy for the match path
+        # (see CLAUDE.md on vmap throughput).
+        from primestereomatch_tpu.models.gif_pipeline import stereo_gif_forward
+
+        def shard_fn(l_blk: jax.Array, r_blk: jax.Array):
+            return jax.lax.map(
+                lambda lr: stereo_gif_forward(
+                    lr[0], lr[1], cfg, run_postprocess=run_postprocess
+                ),
+                (l_blk, r_blk),
+            )
+    else:
+        shard_fn = None  # defined below
+
+    def _shard_fn_tiled(l_blk: jax.Array, r_blk: jax.Array):
         # l_blk, r_blk: (Bl, Ht, W, 3) local tiles, replicated over d
         Bl, Ht, W, _ = l_blk.shape
         H = Ht * yn
@@ -269,25 +289,18 @@ def make_sharded_gif(
                 alpha=cfg.alpha, border_cost=cfg.border_cost,
                 tau1=cfg.tau1, tau2=cfg.tau2,
             )
-            # --- CVF (FGF) on the extended tile ---------------------------
-            fgf = functools.partial(
-                fast_guided_filter_color_tile_low,
+            # --- fused CVF + upsample + local WTA over the d block: the
+            # filtered (D_block, He, W) tile never materializes; d=0 never
+            # selected globally (ops/guided_filter.py::fgf_wta_tile_low) --
+            fused = functools.partial(
+                fgf_wta_tile_low,
                 radius=cfg.gif_radius, eps=cfg.gif_eps,
                 subsample=cfg.subsample, halo=halo, global_h=H,
-                is_top=is_top, is_bot=is_bot,
+                is_top=is_top, is_bot=is_bot, d0=d0,
+                interior=(halo, Ht),
             )
-            lcv = fgf(l_e, lcv_low)[:, halo : halo + Ht]
-            rcv = fgf(r_e, rcv_low)[:, halo : halo + Ht]
-            # --- local WTA over the d block (global d=0 never selected) ---
-            d_glob = d0 + jnp.arange(d_block, dtype=jnp.int32)
-            inf = jnp.asarray(jnp.inf, lcv.dtype)
-            mask = (d_glob == 0)[:, None, None]
-            lcv = jnp.where(mask, inf, lcv)
-            rcv = jnp.where(mask, inf, rcv)
-            l_min = jnp.min(lcv, axis=0)
-            r_min = jnp.min(rcv, axis=0)
-            l_arg = d0 + jnp.argmin(lcv, axis=0).astype(jnp.int32)
-            r_arg = d0 + jnp.argmin(rcv, axis=0).astype(jnp.int32)
+            l_min, l_arg = fused(l_e, lcv_low)
+            r_min, r_arg = fused(r_e, rcv_low)
             return l_min, l_arg, r_min, r_arg
 
         l_min, l_arg, r_min, r_arg = jax.vmap(frame)(l_ext, r_ext)
@@ -328,6 +341,9 @@ def make_sharded_gif(
         l_out = jax.vmap(pp)(l_d_ext, l_g_ext, valid_ext)
         r_out = jax.vmap(pp)(r_d_ext, r_g_ext, valid_ext)
         return l_out, r_out
+
+    if shard_fn is None:
+        shard_fn = _shard_fn_tiled
 
     img_spec = P(AXIS_BATCH, AXIS_ROWS, None, None)
     out_spec = P(AXIS_BATCH, AXIS_ROWS, None)

@@ -98,6 +98,37 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"config": "gif_teddy_batch8", "error": str(e)[:200]}))
 
+    # 6. SGBM at HD720/d=128 and 2K/d=256 (BASELINE size axes for the
+    #    second algorithm; Teddy-only SGBM hid the large-size behavior)
+    for name, hw, nd, it in (
+        ("sgbm_hd720_1280x720_d128", (720, 1280), 128, 5),
+        ("sgbm_2k_2208x1242_d256", (1242, 2208), 256, 3),
+    ):
+        try:
+            lu8 = jnp.asarray(rng.integers(0, 256, (*hw, 3), dtype=np.uint8))
+            ru8 = jnp.asarray(rng.integers(0, 256, (*hw, 3), dtype=np.uint8))
+            scfg = SGBMConfig(num_disparities=nd)
+            fsg = jax.jit(lambda a, b, c=scfg: stereo_sgbm_forward(a, b, c))
+            record(name, bench(fsg, (lu8, ru8), iters=it))
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"config": name, "error": str(e)[:200]}))
+
+    # 7. sharded step on the real chip at mesh (1,1,1): sharding overhead
+    #    must be a measured number, not a design argument (shard_map
+    #    dispatch + spec plumbing around the identical per-chip program)
+    try:
+        from primestereomatch_tpu.parallel import MeshPlan, make_mesh, make_sharded_gif
+
+        mesh = make_mesh(MeshPlan(1, 1, 1), jax.devices()[:1])
+        for name, (lx, rx), c, it in (
+            ("gif_teddy_sharded_mesh111", (l64, r64), cfg, 10),
+            ("gif_2k_sharded_mesh111", (l2k, r2k), cfg256, 3),
+        ):
+            step = make_sharded_gif(mesh, c)
+            record(name, bench(step, (lx[None], rx[None]), iters=it))
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"config": "gif_sharded_mesh111", "error": str(e)[:200]}))
+
     with open("BENCH_SUITE.json", "w") as fjson:
         json.dump(results, fjson, indent=1)
 

@@ -106,6 +106,34 @@ def test_calibrate_camera_recovers_intrinsics(views):
     assert np.all(np.abs(cal.dist[0, :2]) < 0.05)  # true distortion is zero
 
 
+def test_calibrate_camera_rational_model():
+    """n_dist=8 (CALIB_RATIONAL_MODEL, the reference flag set
+    src/StereoCalib.cpp:162-171): the solver must recover nonzero
+    k4..k6 from exact synthetic observations of a rational lens."""
+    d_true = np.zeros((1, 14))
+    d_true[0, :8] = [0.08, -0.12, 1e-3, -8e-4, 0.02, 0.15, -0.06, 0.01]
+    obj = chessboard_object_points(PATTERN)
+    objs, imgs = [], []
+    for rv, tv in _poses(12):
+        objs.append(obj)
+        imgs.append(_project(obj, rv, tv, K_TRUE, d_true))
+    cal = calibrate_camera(objs, imgs, IMG, n_dist=8)
+    assert cal.rms < 1e-3, f"reprojection RMS {cal.rms:.5f}px"
+    # the rational numerator/denominator trade off against each other, so
+    # assert the net radial curve, not raw coefficients: cdist(r2) equal
+    # on the observed radius range
+    from primestereomatch_tpu.calib.distortion import _coeffs
+
+    r2 = np.linspace(0, 0.6, 50)
+    def cdist(d):
+        k1, k2, p1, p2, k3, k4, k5, k6, *_ = _coeffs(d)
+        return (1 + k1 * r2 + k2 * r2**2 + k3 * r2**3) / (
+            1 + k4 * r2 + k5 * r2**2 + k6 * r2**3)
+    np.testing.assert_allclose(cdist(cal.dist), cdist(d_true), atol=1e-4)
+    # tangential terms are directly identifiable
+    np.testing.assert_allclose(cal.dist[0, 2:4], d_true[0, 2:4], atol=1e-4)
+
+
 def test_stereo_calibrate_and_epipolar(views):
     """Full stereo: right camera = left translated by a baseline; solve
     from synthetic corner observations and verify R, T, epipolar RMS."""
