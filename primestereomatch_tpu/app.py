@@ -131,12 +131,18 @@ class StereoMatchApp:
         from primestereomatch_tpu.models.gif_pipeline import DispEst, stereo_gif_forward
         from primestereomatch_tpu.models.sgbm_pipeline import stereo_sgbm_forward
 
+        # impl/mode prefs survive engine rebuilds (e.g. subsample changes)
+        impl = getattr(self, "gif_impl", "auto")
         self.gif_cfg = GIFConfig(
             max_dis=self.cfg.max_dis,
             subsample=self.cfg.subsample,
             med_sz=self.cfg.med_sz,
+            wta_impl=impl, wmf_impl="jnp" if impl == "xla" else impl,
         )
-        self.sgbm_cfg = SGBMConfig(num_disparities=self.cfg.max_dis)
+        self.sgbm_cfg = SGBMConfig(
+            num_disparities=self.cfg.max_dis,
+            mode=getattr(self, "_sgbm_mode", "hh"),
+        )
         self._gif_forward = stereo_gif_forward
         self._sgbm_forward = stereo_sgbm_forward
         self._dispest = DispEst(self.gif_cfg)
@@ -148,12 +154,31 @@ class StereoMatchApp:
         self.cfg.alg = alg
 
     def toggle_sgbm_mode(self) -> str:
-        """'m' key: cycle SGBM mode MODE_HH -> MODE_SGBM -> MODE_SGBM_3WAY
+        """'m' key (SGBM): cycle MODE_HH -> MODE_SGBM -> MODE_SGBM_3WAY
         (src/main.cpp:161-163). Returns the new mode. jit caches per
         num_directions, so revisited modes re-dispatch without recompiling."""
         nxt = {"hh": "sgbm", "sgbm": "3way", "3way": "hh"}[self.sgbm_cfg.mode]
+        self._sgbm_mode = nxt
         self.sgbm_cfg = dataclasses.replace(self.sgbm_cfg, mode=nxt)
         return nxt
+
+    def toggle_gif_impl(self) -> str:
+        """'m' key (GIF): toggle Pallas <-> XLA kernels — the TPU analog of
+        the reference's OpenCL <-> pthreads switch (src/main.cpp:152-159).
+        Returns the new impl name."""
+        import jax
+
+        cur = getattr(self, "gif_impl", "auto")
+        if cur == "auto":
+            cur = "pallas" if jax.default_backend() == "tpu" else "xla"
+        nxt = "xla" if cur == "pallas" else "pallas"
+        if nxt == "pallas" and jax.default_backend() != "tpu":
+            # reference parity: 'm' without an OpenCL device refuses too
+            # (src/main.cpp:157-159)
+            return "xla (platform has no TPU device for Pallas kernels)"
+        self.gif_impl = nxt
+        self._build_engines()
+        return self.gif_impl
 
     def set_subsample(self, s: int):
         """'s' key: FGF subsample rate 2/4/8 (src/main.cpp:186-193)."""

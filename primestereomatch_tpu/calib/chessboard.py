@@ -46,14 +46,64 @@ def saddle_response(gray: np.ndarray, sigma: float = 2.0) -> np.ndarray:
     return -(gxx * gyy - gxy * gyx)
 
 
+def _shift(img: np.ndarray, dy: int, dx: int) -> np.ndarray:
+    """img sampled at (y+dy, x+dx) with edge clamping."""
+    H, W = img.shape
+    ys = np.clip(np.arange(H) + dy, 0, H - 1)
+    xs = np.clip(np.arange(W) + dx, 0, W - 1)
+    return img[np.ix_(ys, xs)]
+
+
+def ring_score(
+    gray: np.ndarray,
+    radii: tuple[int, ...] = (3, 5),
+    n_samples: int = 16,
+    sigma: float = 1.0,
+) -> np.ndarray:
+    """Normalized checkerboard-corner response on a sampling circle.
+
+    A chessboard inner corner is point-symmetric (same color across the
+    center: f(t+pi) = f(t)) and quarter-anti-symmetric (opposite color a
+    quarter turn away: f(t+pi/2) = -f(t)) in the center-subtracted
+    intensities f sampled on a small circle. Score:
+
+        S = sum_i f_i f_{i+N/2}  -  sum_i f_i f_{i+N/4},
+        normalized by the ring energy 2 * sum_i f_i^2  ->  [-1, 1].
+
+    Corners -> ~+1; straight edges (f(t+pi) = -f(t)) -> negative; blobs
+    and flat/noise regions -> ~0. The normalization cancels local
+    contrast, so vignetting / lighting gradients do not reorder peaks —
+    the property the -det(Hessian) response lacks on real photographs.
+    Multi-scale: max over `radii` (board squares from ~2*r_min px up).
+    """
+    g = _gaussian_blur(np.asarray(gray, np.float64), sigma)
+    best = None
+    for r in radii:
+        fs = []
+        for i in range(n_samples):
+            t = 2.0 * np.pi * i / n_samples
+            dy = int(round(r * np.sin(t)))
+            dx = int(round(r * np.cos(t)))
+            fs.append(_shift(g, dy, dx) - g)
+        fs = np.stack(fs)
+        half = np.einsum("iyx,iyx->yx", fs, np.roll(fs, n_samples // 2, axis=0))
+        quart = np.einsum("iyx,iyx->yx", fs, np.roll(fs, n_samples // 4, axis=0))
+        energy = np.einsum("iyx,iyx->yx", fs, fs)
+        # the energy floor keeps flat/noise regions at ~0 without letting
+        # genuinely low-contrast corners vanish: 1% of the mean ring energy
+        s = (half - quart) / (2.0 * energy + 0.01 * energy.mean() + 1e-12)
+        best = s if best is None else np.maximum(best, s)
+    return best
+
+
 def _nms_peaks(resp: np.ndarray, n_peaks: int, radius: int = 5,
-               return_values: bool = False):
+               return_values: bool = False, threshold: float | None = None):
     """Greedy non-max suppression: top responses with exclusion radius."""
     r = resp.copy()
     H, W = r.shape
     pts = []
     vals = []
-    thresh = r.max() * 0.05
+    thresh = r.max() * 0.05 if threshold is None else threshold
     for _ in range(n_peaks):
         idx = np.argmax(r)
         y, x = divmod(int(idx), W)
@@ -266,14 +316,26 @@ def find_chessboard_corners(
     sigma: float = 2.0,
     subpix: bool = True,
 ) -> np.ndarray | None:
-    """Full detection pipeline; (cols*rows, 2) float64 corners or None."""
+    """Full detection pipeline; (cols*rows, 2) float64 corners or None.
+
+    Primary detector: the illumination-invariant `ring_score` (robust on
+    photographs: vignetting, clutter, defocus). Candidates are organized
+    strongest-n first, widening to the full candidate set if the lattice
+    fit fails; the legacy -det(Hessian) response is the last fallback
+    (it is slightly sharper on clean, clutter-free renders).
+    """
     n = pattern_size[0] * pattern_size[1]
-    resp = saddle_response(gray, sigma)
-    pts, vals = _nms_peaks(resp, n_peaks=n + 12, return_values=True)
-    pts = _gap_select(pts, vals, n)
-    grid = organize_grid(pts, pattern_size)
-    if grid is None:
-        return None
-    if subpix:
-        grid = corner_subpix(gray, grid)
-    return grid
+    resp = ring_score(gray)
+    pts, vals = _nms_peaks(
+        resp, n_peaks=n + 20, return_values=True, threshold=0.35,
+    )
+    attempts = [pts[:n], pts] if len(pts) > n else [pts]
+    # fallback: the saddle response with its gap heuristic
+    spts, svals = _nms_peaks(saddle_response(gray, sigma), n_peaks=n + 12,
+                             return_values=True)
+    attempts.append(_gap_select(spts, svals, n))
+    for cand in attempts:
+        grid = organize_grid(cand, pattern_size)
+        if grid is not None:
+            return corner_subpix(gray, grid) if subpix else grid
+    return None

@@ -73,11 +73,19 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _run(app: StereoMatchApp, frames: int, out_dir: str | None,
-         pipeline: bool = False) -> int:
+         pipeline: bool = False, interactive: bool = False) -> int:
     import pathlib
 
     if out_dir:
         pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
+
+    # live HCI between frames (reference key loop src/main.cpp:80-198):
+    # pump() drains stdin and applies a/m/o/s/d/-/= toggles; 'q' stops
+    keys = None
+    if interactive:
+        from primestereomatch_tpu.hci import KeyLoop
+
+        keys = KeyLoop(app)
 
     def emit(res):
         print(app.report(res))
@@ -89,6 +97,8 @@ def _run(app: StereoMatchApp, frames: int, out_dir: str | None,
     if pipeline:
         for res in app.stream(frames):
             emit(res)
+            if keys is not None and not keys.pump():
+                break
         return 0
     for _ in range(frames):
         try:
@@ -96,6 +106,8 @@ def _run(app: StereoMatchApp, frames: int, out_dir: str | None,
         except StopIteration:
             break
         emit(res)
+        if keys is not None and not keys.pump():
+            break
     return 0
 
 
@@ -168,7 +180,8 @@ def main(argv: list[str] | None = None) -> int:
         media_mode="video", video_source=args.source,
         calib_dir=args.calib_dir, calib_size=(cw, ch), **base,
     )
-    return _run(StereoMatchApp(cfg), args.frames, args.out, args.pipeline)
+    return _run(StereoMatchApp(cfg), args.frames, args.out, args.pipeline,
+                interactive=True)
 
 
 if __name__ == "__main__":

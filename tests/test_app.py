@@ -136,6 +136,67 @@ def test_app_toggles(small_video_app):
         app.update_dataset("NotADataset")
 
 
+def test_keyloop_dispatch(small_video_app):
+    """Reference HCI keys (src/main.cpp:80-198) drive the live setters."""
+    from primestereomatch_tpu.hci import KeyLoop
+
+    app = small_video_app
+    msgs = []
+    feed = ["a", "m", "m", "o", "s", "=", "=", "-", "h", "d", "x", "q"]
+    kl = KeyLoop(app, reader=lambda: feed.pop(0) if feed else "",
+                 echo=msgs.append)
+    assert kl.pump()                       # 'a': SGBM -> GIF
+    assert app.cfg.alg == "STEREO_GIF"
+    assert kl.pump()                       # 'm' on GIF (CPU): refuses pallas
+    assert "no TPU" in msgs[-1]
+    app.set_algorithm("STEREO_SGBM")
+    assert kl.pump()                       # 'm' on SGBM: hh -> sgbm
+    assert app.sgbm_cfg.mode == "sgbm"
+    assert kl.pump()                       # 'o': none -> nonocc
+    assert app.cfg.mask_mode == "nonocc"
+    assert kl.pump()                       # 's': 4 -> 8
+    assert app.cfg.subsample == 8
+    assert app.sgbm_cfg.mode == "sgbm"     # mode survives the engine rebuild
+    thr = app.cfg.error_threshold
+    assert kl.pump() and app.cfg.error_threshold == thr + 1   # '='
+    assert kl.pump() and app.cfg.error_threshold == thr + 2
+    assert kl.pump() and app.cfg.error_threshold == thr + 1   # '-'
+    assert kl.pump()                       # 'h': help text
+    assert "current:" in msgs[-1]
+    assert kl.pump()                       # 'd' in video mode: refused
+    assert "image mode" in msgs[-1]
+    assert kl.pump()                       # unknown key ignored
+    assert not kl.pump()                   # 'q' stops the run
+
+
+def test_keyloop_dataset_cycle():
+    from primestereomatch_tpu.hci import KeyLoop
+
+    app = StereoMatchApp(AppConfig(
+        alg="STEREO_GIF", media_mode="image", dataset="Cones", max_dis=16,
+    ))
+    kl = KeyLoop(app, reader=lambda: "", echo=lambda s: None)
+    start = app.cfg.dataset
+    assert kl.handle("d")
+    assert app.cfg.dataset != start and app._sample is not None
+
+
+def test_cli_video_quit_key(capsys, monkeypatch):
+    """'q' on stdin stops a multi-frame video run after the first frame."""
+    feed = ["q"]
+    monkeypatch.setattr(
+        "primestereomatch_tpu.hci._stdin_reader",
+        lambda: feed.pop(0) if feed else "",
+    )
+    rc = main([
+        "-a", "STEREO_SGBM", "--max-dis", "8", "--frames", "5",
+        "--mask", "none", "video", "--source", "synthetic",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "frame 0" in out and "frame 1" not in out
+
+
 def test_cli_main_video(capsys):
     rc = main([
         "-a", "STEREO_SGBM", "--max-dis", "8", "--frames", "1",

@@ -106,6 +106,81 @@ def test_calibrate_camera_recovers_intrinsics(views):
     assert np.all(np.abs(cal.dist[0, :2]) < 0.05)  # true distortion is zero
 
 
+def _render_photo(rv, tv, dist, img_size=IMG, seed=0, blur=1.2, noise=3.0):
+    """Photo-realistic board render: lens distortion (inverse-warp through
+    the undistort fixed point), defocus blur, vignetting, a non-uniform
+    lighting gradient, textured background clutter, and sensor noise —
+    the degradations real captures have and clean synthetic renders lack."""
+    import cv2
+
+    from primestereomatch_tpu.calib.distortion import undistort_points
+
+    cols, rows = PATTERN
+    R = rodrigues(rv)
+    H = K_TRUE @ np.column_stack([R[:, 0], R[:, 1], tv])
+    Hinv = np.linalg.inv(H)
+    w, h = img_size
+    ss = 2
+    ys, xs = (np.mgrid[0:h * ss, 0:w * ss].astype(np.float64) + 0.5) / ss - 0.5
+    uv = np.stack([xs, ys], axis=-1).reshape(-1, 2)
+    # pixel (distorted) -> ideal pinhole pixel -> board plane
+    und = undistort_points(uv, K_TRUE, dist, P=K_TRUE).reshape(h * ss, w * ss, 2)
+    pts = np.concatenate([und, np.ones((*und.shape[:2], 1))], axis=-1) @ Hinv.T
+    X = pts[..., 0] / pts[..., 2]
+    Y = pts[..., 1] / pts[..., 2]
+    rng = np.random.default_rng(seed)
+    # checker shading on the (cols+1)x(rows+1)-square board, clutter outside
+    inside = (X > -1) & (X < cols + 0) & (Y > -1) & (Y < rows + 0)
+    checker = ((np.floor(X) + np.floor(Y)) % 2 == 0)
+    img = np.where(inside, np.where(checker, 210.0, 40.0), 128.0)
+    # background clutter: low-frequency random blobs
+    bg = cv2.GaussianBlur(rng.normal(0, 60, (h // 8, w // 8)), (0, 0), 2)
+    bg = cv2.resize(bg, (w * ss, h * ss), interpolation=cv2.INTER_CUBIC)
+    img = np.where(inside, img, np.clip(128.0 + bg, 0, 255))
+    img = img.reshape(h, ss, w, ss).mean(axis=(1, 3))  # supersample box-down
+    # lighting gradient + vignette
+    yy, xx = np.mgrid[0:h, 0:w]
+    img *= 0.75 + 0.35 * (xx / w) - 0.15 * (yy / h)
+    r2 = ((xx - w / 2) / w) ** 2 + ((yy - h / 2) / h) ** 2
+    img *= 1.0 - 0.5 * r2
+    img = cv2.GaussianBlur(img, (0, 0), blur)
+    img += rng.normal(0, noise, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_chessboard_detection_photo_degraded():
+    """Detector robustness on photo-like captures (distortion + blur +
+    vignetting + clutter + noise), cross-checked against BOTH the exact
+    projected corners and cv2.findChessboardCorners as an independent
+    oracle on the identical images."""
+    import cv2
+
+    d = np.zeros((1, 14))
+    d[0, :5] = [-0.18, 0.05, 1e-3, -5e-4, 0.0]
+    obj = chessboard_object_points(PATTERN)
+    n_ok = 0
+    for i, (rv, tv) in enumerate(_poses(6)):
+        img = _render_photo(rv, tv, d, seed=i)
+        gt = _project(obj, rv, tv, K_TRUE, d)
+
+        ok_cv, cv_corners = cv2.findChessboardCorners(
+            img, PATTERN,
+            flags=cv2.CALIB_CB_ADAPTIVE_THRESH | cv2.CALIB_CB_NORMALIZE_IMAGE,
+        )
+        if not ok_cv:
+            continue  # too hard even for the production detector: not a fair case
+        n_ok += 1
+        corners = find_chessboard_corners(img, PATTERN)
+        assert corners is not None, f"view {i}: detector failed where cv2 succeeded"
+        if np.linalg.norm(corners[0] - gt[0]) > np.linalg.norm(corners[-1] - gt[0]):
+            corners = corners[::-1]
+        err = np.linalg.norm(corners - gt, axis=1)
+        assert err.max() < 2.0, f"view {i}: max corner error {err.max():.2f}px"
+        rms = float(np.sqrt((err ** 2).mean()))
+        assert rms < 0.8, f"view {i}: corner RMS {rms:.2f}px"
+    assert n_ok >= 4, f"only {n_ok} views detectable by the cv2 oracle"
+
+
 def test_calibrate_camera_rational_model():
     """n_dist=8 (CALIB_RATIONAL_MODEL, the reference flag set
     src/StereoCalib.cpp:162-171): the solver must recover nonzero
