@@ -29,6 +29,10 @@ class GIFConfig:
     # to expose the OpenCL-variant semantics as a capability.
     tau1: float | None = None    # None = no clamp (CPU float semantics)
     tau2: float | None = None
+    # The OpenCL host adds +0.5 to the Sobel gradients before CVC
+    # (src/CVC_cl.cpp:108-111); the CPU float path does not. 0.0 = golden
+    # CPU semantics; 0.5 = OpenCL-variant capability.
+    grad_offset: float = 0.0
     gif_radius: int = 8          # GIF_R_WIN, include/ComFunc.h:49
     gif_eps: float = 1e-4        # GIF_EPS, include/ComFunc.h:50
     subsample: int = 4           # FGF s; cycles 2/4/8 via 's' key (src/main.cpp:186-193)

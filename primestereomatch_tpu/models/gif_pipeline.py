@@ -93,6 +93,9 @@ def stereo_gif_forward(
     # volume and downsampling, at 1/s^2 of the work.
     l_grd = sobel_x_k1(bgr_to_gray_refquirk(l_img))
     r_grd = sobel_x_k1(bgr_to_gray_refquirk(r_img))
+    if cfg.grad_offset:   # OpenCL-variant +0.5 (src/CVC_cl.cpp:108-111)
+        l_grd = l_grd + cfg.grad_offset
+        r_grd = r_grd + cfg.grad_offset
     H, W, _ = l_img.shape
     s = cfg.subsample
     yi = nearest_indices(H, H // s)
@@ -181,6 +184,109 @@ def stereo_gif_forward(
     return l_disp, r_disp
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "run_postprocess", "tail_impl"))
+def stereo_gif_forward_batch(
+    l_imgs: jax.Array,             # (B, H, W, 3) float32 in [0,1], BGR
+    r_imgs: jax.Array,
+    cfg: GIFConfig = GIFConfig(),
+    run_postprocess: bool = True,
+    tail_impl: str = "auto",       # auto | xla | pallas
+) -> tuple[jax.Array, jax.Array]:
+    """Batch-aware STEREO_GIF forward: returns (B, H, W) uint8 pairs.
+
+    `jax.vmap(stereo_gif_forward)` regresses ~1.7x on TPU because the
+    match path's static sample gathers acquire vmap batch dims. Here the
+    batch FOLDS INTO THE ROW AXIS for CVC — every CVC op (grayscale,
+    Sobel-x, per-d column shifts, border masks, sample gathers) is
+    row-local, so B stacked images behave exactly like one B*H-row image
+    and the gathers keep static batch-free indices. The 2D stages then
+    run per frame: tail_impl='xla' vmaps the chunked-matmul upsample+WTA
+    (batched MXU work amortizes small-image dispatch), 'pallas' lax.maps
+    the single-frame fused-kernel fast path ('auto' = pallas on TPU).
+    Per-frame results are bitwise-equal to `stereo_gif_forward`
+    (tests/test_app.py::test_forward_batch_matches_per_frame).
+    """
+    B, H, W, _ = l_imgs.shape
+    if cfg.pp_toolchain or cfg.wmf_mode != "exact":
+        raise ValueError(
+            "stereo_gif_forward_batch supports the default exact-WMF path "
+            "only; run pp_toolchain/table-mode frames through "
+            "stereo_gif_forward"
+        )
+    import numpy as np
+
+    # --- CVC with the batch folded into rows -------------------------------
+    l_flat = l_imgs.reshape(B * H, W, 3)
+    r_flat = r_imgs.reshape(B * H, W, 3)
+    l_grd = sobel_x_k1(bgr_to_gray_refquirk(l_flat))
+    r_grd = sobel_x_k1(bgr_to_gray_refquirk(r_flat))
+    if cfg.grad_offset:   # OpenCL-variant +0.5 (src/CVC_cl.cpp:108-111)
+        l_grd = l_grd + cfg.grad_offset
+        r_grd = r_grd + cfg.grad_offset
+    s = cfg.subsample
+    yi = nearest_indices(H, H // s)
+    xi = nearest_indices(W, W // s)
+    yi_b = np.concatenate([yi + b * H for b in range(B)])
+    lcv, rcv = build_cost_volumes_sampled(
+        l_flat, r_flat, l_grd, r_grd, cfg.max_dis, yi_b, xi,
+        alpha=cfg.alpha, border_cost=cfg.border_cost,
+        tau1=cfg.tau1, tau2=cfg.tau2,
+    )
+    h, w = len(yi), len(xi)
+    lcv = jnp.moveaxis(lcv.reshape(cfg.max_dis, B, h, w), 1, 0)  # (B, D, h, w)
+    rcv = jnp.moveaxis(rcv.reshape(cfg.max_dis, B, h, w), 1, 0)
+
+    impl = tail_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    if impl == "pallas":
+        from primestereomatch_tpu.kernels.lowmaps_pallas import fgf_low_maps_pallas
+        from primestereomatch_tpu.kernels.wta_pallas import fgf_wta_pallas_maps
+
+        dc = min(32, cfg.max_dis)
+        lowm = functools.partial(
+            fgf_low_maps_pallas, radius=cfg.gif_radius, eps=cfg.gif_eps,
+            subsample=s,
+        )
+
+        def frame(args):
+            li, ri, lc, rc = args
+            ld = fgf_wta_pallas_maps(li, lowm(li, lc), (h, w), (H, W), d_chunk=dc)
+            rd = fgf_wta_pallas_maps(ri, lowm(ri, rc), (h, w), (H, W), d_chunk=dc)
+            if run_postprocess:
+                ld = _wmf_exact(ld, li, cfg)
+                rd = _wmf_exact(rd, ri, cfg)
+            return ld, rd
+
+        l_disp, r_disp = jax.lax.map(frame, (l_imgs, r_imgs, lcv, rcv))
+        return l_disp, r_disp
+
+    up_impl = cfg.upsample_impl
+    if up_impl == "auto":
+        up_impl = "mxu" if jax.default_backend() == "tpu" else "lerp"
+    full_bytes = 4 * cfg.max_dis * H * W * 4
+    d_chunk = cfg.max_dis if full_bytes <= (1 << 30) else min(16, cfg.max_dis)
+
+    def frame_xla(li, ri, lc, rc):
+        low = functools.partial(
+            fgf_low_maps, radius=cfg.gif_radius, eps=cfg.gif_eps, subsample=s
+        )
+        ma_l, mb_l = low(li, lc)
+        ma_r, mb_r = low(ri, rc)
+        wta = functools.partial(
+            fgf_wta_low_maps, out_hw=(H, W),
+            d_chunk=d_chunk, upsample_impl=up_impl,
+        )
+        ld, rd = wta(li, ma_l, mb_l), wta(ri, ma_r, mb_r)
+        if run_postprocess:
+            ld = _wmf_exact(ld, li, cfg)
+            rd = _wmf_exact(rd, ri, cfg)
+        return ld, rd
+
+    return jax.vmap(frame_xla)(l_imgs, r_imgs, lcv, rcv)
+
+
 class StereoGIF:
     """Object-style wrapper mirroring the reference DispEst engine lifecycle
     (src/DispEst.cpp:10-50): construct once per image geometry, then call
@@ -205,6 +311,9 @@ class StereoGIF:
 def _stage_cvc(l_img, r_img, cfg: GIFConfig):
     l_grd = sobel_x_k1(bgr_to_gray_refquirk(l_img))
     r_grd = sobel_x_k1(bgr_to_gray_refquirk(r_img))
+    if cfg.grad_offset:   # OpenCL-variant +0.5 (src/CVC_cl.cpp:108-111)
+        l_grd = l_grd + cfg.grad_offset
+        r_grd = r_grd + cfg.grad_offset
     return build_cost_volumes(
         l_img, r_img, l_grd, r_grd,
         max_dis=cfg.max_dis, alpha=cfg.alpha, border_cost=cfg.border_cost,

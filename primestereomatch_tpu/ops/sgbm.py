@@ -151,14 +151,26 @@ def _dp_line(costs: jax.Array, p1: int, p2: int, shift: int) -> jax.Array:
     return Ls
 
 
-def _dp_line_stack(costs: jax.Array, p1: int, p2: int, shifts) -> jax.Array:
-    """Several directions sharing one `lax.scan`: costs (T, S, N, D) where
-    S stacks directions whose carries shift laterally by shifts[s] per
-    step. Identical per-direction math to `_dp_line`; batching S into the
-    scan state cuts the number of sequential scan loops (the wall-clock
-    cost of SGBM on TPU is dominated by sequential scan steps, not FLOPs).
+def _dp_line_stack(
+    costs: jax.Array, p1: int, p2: int, shifts, lane_plane=None
+) -> jax.Array:
+    """Several directions sharing one `lax.scan`: costs (T, P, N, D) where
+    P holds distinct cost planes and lane s (shifting laterally by
+    shifts[s] per step) consumes plane lane_plane[s] — so directions that
+    read the SAME rows (straight + both shears) share one HBM-resident
+    plane instead of three copies, and forward + backward y-directions
+    ride ONE scan (plane 1 = the flipped volume). Identical per-direction
+    math to `_dp_line`; batching directions into the scan state cuts the
+    number of sequential scan loops (the wall-clock cost of SGBM on TPU is
+    dominated by sequential scan steps, not FLOPs).
+
+    lane_plane=None means P == len(shifts) with the identity mapping.
+    Returns (T, S, N, D) with S = len(shifts).
     """
-    T, Sn, N, D = costs.shape
+    if lane_plane is None:
+        lane_plane = tuple(range(len(shifts)))
+    T, Pn, N, D = costs.shape
+    Sn = len(shifts)
     p1 = jnp.int32(p1)
     p2 = jnp.int32(p2)
 
@@ -190,7 +202,8 @@ def _dp_line_stack(costs: jax.Array, p1: int, p2: int, shifts) -> jax.Array:
         best = jnp.minimum(
             jnp.minimum(Lp, jnp.minimum(d_lo, d_hi) + p1), minLp + p2
         )
-        L = c + best - minLp
+        c_lanes = c if lane_plane == tuple(range(Sn)) else c[jnp.asarray(lane_plane)]
+        L = c_lanes + best - minLp
         return (L, jnp.min(L, axis=-1, keepdims=True)), L
 
     init = (
@@ -232,15 +245,20 @@ def aggregate(cost: jax.Array, p1: int, p2: int, num_directions: int = 8) -> jax
         Ld = _dp_line_stack(cost[:, None], p1, p2, (0,))
         return S + Ld[:, 0]                                 # N->S only
 
-    down = jnp.stack([cost, cost, cost], axis=1)            # (H, 3, W, D)
-    Ld = _dp_line_stack(down, p1, p2, (0, 1, -1))
-    S = S + Ld[:, 0] + Ld[:, 1] + Ld[:, 2]                  # N->S, NW->SE, NE->SW
+    if num_directions == 5:
+        # three downward lanes sharing ONE cost plane (straight + shears)
+        Ld = _dp_line_stack(cost[:, None], p1, p2, (0, 1, -1), (0, 0, 0))
+        return S + Ld[:, 0] + Ld[:, 1] + Ld[:, 2]           # N->S, NW->SE, NE->SW
 
-    if num_directions == 8:
-        cf = jnp.flip(cost, axis=0)
-        up = jnp.stack([cf, cf, cf], axis=1)
-        Lu = _dp_line_stack(up, p1, p2, (0, 1, -1))
-        S = S + jnp.flip(Lu[:, 0] + Lu[:, 1] + Lu[:, 2], axis=0)
+    # MODE_HH: all six y-directions ride ONE scan — lanes 0-2 consume the
+    # natural row order, lanes 3-5 the flipped volume (plane 1), so the
+    # sequential y latency is paid once, not twice
+    pair = jnp.stack([cost, jnp.flip(cost, axis=0)], axis=1)  # (H, 2, W, D)
+    Lb = _dp_line_stack(
+        pair, p1, p2, (0, 1, -1, 0, 1, -1), (0, 0, 0, 1, 1, 1)
+    )
+    S = S + Lb[:, 0] + Lb[:, 1] + Lb[:, 2]
+    S = S + jnp.flip(Lb[:, 3] + Lb[:, 4] + Lb[:, 5], axis=0)
     return S
 
 

@@ -283,6 +283,9 @@ def make_sharded_gif(
             # single-chip pipeline) ----------------------------------------
             l_grd = sobel_x_k1(bgr_to_gray_refquirk(l_e))
             r_grd = sobel_x_k1(bgr_to_gray_refquirk(r_e))
+            if cfg.grad_offset:   # OpenCL-variant +0.5 (src/CVC_cl.cpp:108-111)
+                l_grd = l_grd + cfg.grad_offset
+                r_grd = r_grd + cfg.grad_offset
             lcv_low, rcv_low = build_cost_volume_block_sampled(
                 l_e, r_e, l_grd, r_grd, d0, d_block, cfg.max_dis,
                 yi_t, xi_t,

@@ -88,13 +88,18 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"config": "gif_2k_2208x1242_d256", "error": str(e)[:200]}))
 
-    # 5. batched throughput: 8 Teddy frames per dispatch
+    # 5. batched throughput: 8 Teddy frames per dispatch — the batch-aware
+    #    forward (CVC folded into rows) vs naive vmap (gathers get batch dims)
     try:
+        from primestereomatch_tpu.models.gif_pipeline import stereo_gif_forward_batch
+
         B = 8
         lb = jnp.broadcast_to(l64, (B, *l64.shape))
         rb = jnp.broadcast_to(r64, (B, *r64.shape))
-        fb = jax.jit(jax.vmap(lambda a, b: stereo_gif_forward(a, b, cfg)))
+        fb = jax.jit(lambda a, b: stereo_gif_forward_batch(a, b, cfg))
         record("gif_teddy_batch8", bench(fb, (lb, rb), iters=5), scale=B)
+        fv = jax.jit(jax.vmap(lambda a, b: stereo_gif_forward(a, b, cfg)))
+        record("gif_teddy_batch8_vmap", bench(fv, (lb, rb), iters=5), scale=B)
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"config": "gif_teddy_batch8", "error": str(e)[:200]}))
 

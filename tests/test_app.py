@@ -136,6 +136,36 @@ def test_app_toggles(small_video_app):
         app.update_dataset("NotADataset")
 
 
+def test_forward_batch_matches_per_frame(rng):
+    """stereo_gif_forward_batch (CVC batch folded into rows, per-frame
+    tail) is bitwise-equal to per-frame stereo_gif_forward."""
+    import jax.numpy as jnp
+
+    from primestereomatch_tpu.config import GIFConfig
+    from primestereomatch_tpu.models import (
+        stereo_gif_forward,
+        stereo_gif_forward_batch,
+    )
+
+    cfg = GIFConfig(max_dis=16)
+    # 72x52: W=52 is not a multiple of s=4*13... use both grid kinds
+    for H, W in ((64, 64), (60, 52)):
+        frames = [
+            (rng.random((H, W, 3), dtype=np.float32),
+             rng.random((H, W, 3), dtype=np.float32))
+            for _ in range(3)
+        ]
+        lb = jnp.asarray(np.stack([f[0] for f in frames]))
+        rb = jnp.asarray(np.stack([f[1] for f in frames]))
+        out_l, out_r = stereo_gif_forward_batch(lb, rb, cfg)
+        for i, (l, r) in enumerate(frames):
+            ref_l, ref_r = stereo_gif_forward(jnp.asarray(l), jnp.asarray(r), cfg)
+            np.testing.assert_array_equal(np.asarray(out_l[i]), np.asarray(ref_l))
+            np.testing.assert_array_equal(np.asarray(out_r[i]), np.asarray(ref_r))
+    with pytest.raises(ValueError, match="exact-WMF"):
+        stereo_gif_forward_batch(lb, rb, GIFConfig(max_dis=16, pp_toolchain=True))
+
+
 def test_keyloop_dispatch(small_video_app):
     """Reference HCI keys (src/main.cpp:80-198) drive the live setters."""
     from primestereomatch_tpu.hci import KeyLoop

@@ -147,6 +147,35 @@ def test_joint_wmf_table_matches_oracle(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_grad_offset_opencl_variant(teddy):
+    """GIFConfig.grad_offset=0.5 (the OpenCL host's `lGrdX += 0.5`,
+    src/CVC_cl.cpp:108-111) must equal manually offsetting the gradients;
+    the offset cancels in |gl - gr| so only border-cost columns change."""
+    from primestereomatch_tpu.config import GIFConfig
+    from primestereomatch_tpu.models.gif_pipeline import _stage_cvc
+
+    l = jnp.asarray(teddy.left_f32[:40, :48])
+    r = jnp.asarray(teddy.right_f32[:40, :48])
+    cfg0 = GIFConfig(max_dis=16)
+    cfg5 = GIFConfig(max_dis=16, grad_offset=0.5)
+    lcv0, _ = _stage_cvc(l, r, cfg0)
+    lcv5, _ = _stage_cvc(l, r, cfg5)
+    # oracle: offset the gradients by hand
+    lg = sobel_x_k1(bgr_to_gray_refquirk(l)) + 0.5
+    rg = sobel_x_k1(bgr_to_gray_refquirk(r)) + 0.5
+    want_l, _ = build_cost_volumes(l, r, lg, rg, 16)
+    # jit fuses (g+0.5)-(g2+0.5) with FMA contraction: last-ulp only
+    np.testing.assert_allclose(np.asarray(lcv5), np.asarray(want_l), atol=1e-6)
+    # interior (non-border-masked) costs are unchanged: |Δg| cancels the offset
+    d = np.arange(16)[:, None, None]
+    x = np.arange(48)[None, None, :]
+    interior = np.broadcast_to(x >= d, lcv0.shape)
+    np.testing.assert_allclose(
+        np.asarray(lcv5)[interior], np.asarray(lcv0)[interior], atol=1e-6
+    )
+    assert not np.allclose(np.asarray(lcv5)[~interior], np.asarray(lcv0)[~interior])
+
+
 def _from32f_oracle(img: np.ndarray, n_levels: int):
     """Linear-walk oracle of the reference's from32FTo32S
     (include/JointWMF.h:670-745): element-by-element greedy clustering,
