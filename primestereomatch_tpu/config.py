@@ -92,6 +92,7 @@ class SGBMConfig:
     speckle_range: int = 32
     mode: str = "hh"             # hh | sgbm | 3way ('m' key cycle, main.cpp:161-163)
     num_channels: int = 3
+    agg_impl: str = "auto"       # auto | xla | pallas (aggregation scans)
 
     @property
     def num_directions(self) -> int:

@@ -66,8 +66,8 @@ def _box_valid(x: jax.Array, k: int, scale: float) -> jax.Array:
 def _lowmaps_kernel(
     p_blk,        # (1, DC, TI, WI)  cost block (pre-padded tile)
     stat_blk,     # (1, 12, TI, WI)  ch_low(3) means(3) inv(6), same tile
-    out_ref,      # (4, DC, TH, WO)  [a_r, a_g, a_b, b] box-averaged
-    *, k: int, DC: int,
+    out_ref,      # (4, DC, TH, margin+WO)  [a_r, a_g, a_b, b] box-averaged
+    *, k: int, DC: int, margin: int = 0,
 ):
     # WI = WO + 2M: the box output is naturally full block width, so no
     # in-kernel concat/pad is ever needed (Mosaic rejects lane-dim concats
@@ -103,11 +103,24 @@ def _lowmaps_kernel(
     # per-map stores keep the VMEM live set small (a jnp.stack would hold
     # all four boxed maps plus the stacked copy at once)
     for i, t in enumerate((a_r, a_g, a_b, b)):
-        out_ref[i] = _box_valid(t, k, inv_k2)
+        boxed = _box_valid(t, k, inv_k2)
+        if margin:
+            # polyphase WTA layout: data at lane offset `margin`, margin
+            # lanes zero-filled (slab-slice legality padding; the consumer
+            # recomputes any weight-carrying margin read in XLA)
+            out_ref[i, :, :, :margin] = jnp.zeros(
+                (DC, boxed.shape[-2], margin), jnp.float32
+            )
+            out_ref[i, :, :, margin:] = boxed
+        else:
+            out_ref[i] = boxed
 
 
 @functools.partial(
-    jax.jit, static_argnames=("radius", "eps", "subsample", "out_wp", "interpret")
+    jax.jit,
+    static_argnames=(
+        "radius", "eps", "subsample", "out_wp", "out_margin", "interpret"
+    ),
 )
 def fgf_low_maps_pallas(
     guide: jax.Array,          # (H, W, 3) float32 full-res guide
@@ -116,18 +129,20 @@ def fgf_low_maps_pallas(
     eps: float = 1e-4,
     subsample: int = 4,
     out_wp: int | None = None,  # pad output lanes to at least this (WTA layout)
+    out_margin: int = 0,        # left lane margin (polyphase WTA layout)
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused fgf_low_maps: returns STACKED maps (4, D, HP, WP) f32
-    ([mean_a_r, mean_a_g, mean_a_b, mean_b]) where HP = ceil(h/TH)*TH and
-    WP = max(round_up(w, 128), out_wp); outside (h, w) is finite junk.
+    """Fused fgf_low_maps: returns STACKED maps (4, D, HP, margin+WP) f32
+    ([mean_a_r, mean_a_g, mean_a_b, mean_b]) where HP = ceil(h/TH)*TH,
+    WP = max(round_up(w, 128), out_wp), and data starts at lane
+    `out_margin` (margin lanes are zeros); outside (h, w) is finite junk.
     Feed directly to fgf_wta_pallas_maps(..., logical_hw=(h, w)).
     vmap-able: frames dispatch sequentially (see kernels/wta_pallas.py)."""
 
     @jax.custom_batching.custom_vmap
     def run(g, p):
         return _fgf_low_maps_pallas_impl(
-            g, p, radius, eps, subsample, out_wp, interpret
+            g, p, radius, eps, subsample, out_wp, out_margin, interpret
         )
 
     @run.def_vmap
@@ -138,7 +153,7 @@ def fgf_low_maps_pallas(
         args = [bcast(x, bb) for x, bb in zip((g, p), in_batched)]
         out = jax.lax.map(
             lambda xs: _fgf_low_maps_pallas_impl(
-                *xs, radius, eps, subsample, out_wp, interpret
+                *xs, radius, eps, subsample, out_wp, out_margin, interpret
             ),
             tuple(args),
         )
@@ -148,7 +163,7 @@ def fgf_low_maps_pallas(
 
 
 def _fgf_low_maps_pallas_impl(
-    guide, p_low, radius, eps, subsample, out_wp, interpret
+    guide, p_low, radius, eps, subsample, out_wp, out_margin, interpret
 ) -> jax.Array:
     from primestereomatch_tpu.ops.resize import resize_nearest
 
@@ -204,7 +219,8 @@ def _fgf_low_maps_pallas_impl(
          for i in range(n_tiles)]
     )                                               # (n_tiles, 12, TI, WI)
 
-    kernel = functools.partial(_lowmaps_kernel, k=k, DC=DC)
+    kernel = functools.partial(_lowmaps_kernel, k=k, DC=DC, margin=out_margin)
+    WT = out_margin + WP
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles, n_dc),
@@ -212,8 +228,8 @@ def _fgf_low_maps_pallas_impl(
             pl.BlockSpec((1, DC, TI, WI), lambda i, c: (i, c, 0, 0)),
             pl.BlockSpec((1, 12, TI, WI), lambda i, c: (i, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((4, DC, TH, WP), lambda i, c: (0, c, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((4, D, HP, WP), jnp.float32),
+        out_specs=pl.BlockSpec((4, DC, TH, WT), lambda i, c: (0, c, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((4, D, HP, WT), jnp.float32),
         interpret=interpret,
     )(p_tiles, s_tiles)
     return out

@@ -116,10 +116,15 @@ def _wta_kernel(
         get_dma(slot, c).wait()
         cur = slab[slot]
         # rows: contract RS — (8, RS) x (4, DC, RS, CS) -> (8, 4, DC, CS)
+        # HIGHEST precision: the TPU MXU default truncates f32 operands to
+        # bf16, which moves ~5% of knife-edge argmins vs the exact-f32 lerp
+        # contract (measured via bench.py kernel_parity); HIGHEST keeps the
+        # two weight-carrying taps f32-faithful
         rowed = jax.lax.dot_general(
             w_row, cur,
             dimension_numbers=(((1,), (2,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         # cols: merge (maps, DC, rows) into the matmul M dimension —
         # batched M=8 matmuls run the MXU at 8/128 row utilization, one
@@ -127,7 +132,8 @@ def _wta_kernel(
         flat = jnp.transpose(rowed, (1, 2, 0, 3)).reshape(
             n_maps * DC * TILE_H, CS
         )
-        q4 = jnp.dot(flat, w_col, preferred_element_type=jnp.float32)
+        q4 = jnp.dot(flat, w_col, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
         q4 = q4.reshape(n_maps, DC, TILE_H, TILE_W)
         # combine maps with the guide: (DC, 8, TW)
         q = (
@@ -140,6 +146,127 @@ def _wta_kernel(
         q = jnp.where(d_glob == 0, jnp.inf, q)
         c_min = jnp.min(q, axis=0)
         c_arg = (c * DC + jnp.argmin(q, axis=0)).astype(jnp.int32)
+        take = c_min < best
+        return jnp.where(take, c_min, best), jnp.where(take, c_arg, arg)
+
+    best, arg = jax.lax.fori_loop(0, n_chunks, chunk_body, (best0, arg0))
+    out_ref[:] = arg
+
+
+# --- polyphase column variant ---------------------------------------------
+# At exact integer column upscaling (W % w == 0, P = W // w phases) the
+# bilinear column interpolation is PERIODIC: output column P*q + r lerps
+# source columns (q + d_r, q + d_r + 1) with a per-phase weight, where
+# d_r in {-1, 0}. The generic kernel spends its time on a (CS~256)-deep
+# column matmul with only two weight-carrying rows; here the same values
+# come from THREE static lane slices of the row-interpolated slab (offsets
+# margin-1 / margin / margin+1) plus per-phase lerps — pure VPU work, so
+# the kernel goes from MXU-bound (~31 ms/view at 2K) to DMA-bound.
+# Output is phase-major (P, H, W/P), un-interleaved by XLA afterwards.
+# Layout contract: the maps tensor carries a POLY_MARGIN-lane left margin
+# (slice legality; values may be junk) and enough right padding that every
+# slab window [j*TWQ, j*TWQ + TWQ + 2*POLY_MARGIN) is in-bounds — the
+# layout `poly_col_params` computes and kernels/lowmaps_pallas.py emits
+# (out_wp/out_margin). Junk margin reads can only carry weight for the
+# first P//2 output columns, which are recomputed exactly in XLA.
+
+POLY_MARGIN = 128
+POLY_TILE_H = 16   # output rows per tile (tuned on hardware)
+POLY_TWQ = 256     # output phase-columns per tile (multiple of 128)
+
+
+def poly_col_params(w: int, W: int) -> dict | None:
+    """Polyphase layout for logical low width w -> output width W, or None
+    when the polyphase column path does not apply."""
+    if W % w or W // w <= 1:
+        return None
+    P = W // w
+    if P > 8:
+        return None
+    twq = min(POLY_TWQ, _round_up(w, 128))
+    ntxq = -(-w // twq)
+    # maps width: margin + data, with every slab window in-bounds
+    wp = ntxq * twq + POLY_MARGIN
+    deltas = tuple(
+        int(np.floor((r + 0.5) / P - 0.5)) for r in range(P)
+    )
+    return {
+        "P": P, "TWQ": twq, "ntxq": ntxq, "out_wp": wp,
+        "margin": POLY_MARGIN, "deltas": deltas, "ncl": P // 2,
+    }
+
+
+def _wta_kernel_poly(
+    row_start_s,                    # SMEM (nty,) aligned slab row starts
+    maps_hbm, guide_blk, ryw_blk, wx_blk, out_ref,
+    slab, sem,
+    *, D: int, DC: int, RS: int, CS: int, P: int, TWQ: int, TH: int,
+    deltas: tuple,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    r0 = pl.multiple_of(row_start_s[i], 8)
+    c0 = pl.multiple_of(j * TWQ, 128)
+
+    # row-interpolation matrix (TH, RS) from the packed ry/fy table
+    ry = ryw_blk[0, :, 0:1]
+    wy = ryw_blk[0, :, 1:2]
+    rr = jax.lax.broadcasted_iota(jnp.int32, (TH, RS), 1)
+    ry_i = ry.astype(jnp.int32)
+    w_row = jnp.where(rr == ry_i, 1.0 - wy, 0.0) + jnp.where(rr == ry_i + 1, wy, 0.0)
+
+    n_chunks = D // DC
+    best0 = jnp.full((P, TH, TWQ), jnp.inf, jnp.float32)
+    arg0 = jnp.zeros((P, TH, TWQ), jnp.int32)
+
+    def get_dma(slot, c):
+        return pltpu.make_async_copy(
+            maps_hbm.at[:, pl.ds(c * DC, DC), pl.ds(r0, RS), pl.ds(c0, CS)],
+            slab.at[slot], sem.at[slot],
+        )
+
+    get_dma(0, 0).start()
+
+    def chunk_body(c, carry):
+        best, arg = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+        get_dma(slot, c).wait()
+        cur = slab[slot]                         # (4, DC, RS, CS)
+        rowed = jax.lax.dot_general(
+            w_row, cur,
+            dimension_numbers=(((1,), (2,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,   # exact-f32 taps (see above)
+        )                                        # (TH, 4, DC, CS)
+        rowed = jnp.transpose(rowed, (1, 2, 0, 3))  # (4, DC, TH, CS)
+        M = POLY_MARGIN
+        # the three source-lane windows every phase lerp draws from
+        sA = rowed[..., M - 1 : M - 1 + TWQ]
+        sB = rowed[..., M : M + TWQ]
+        sC = rowed[..., M + 1 : M + 1 + TWQ]
+
+        d_glob = c * DC + jax.lax.broadcasted_iota(jnp.int32, (DC, 1, 1), 0)
+        mins, args_ = [], []
+        for r in range(P):
+            a, b = (sA, sB) if deltas[r] == -1 else (sB, sC)
+            wx = wx_blk[0, r, :][None, None, :]  # (1, 1, TWQ)
+            q4 = a * (1.0 - wx) + b * wx         # (4, DC, TH, TWQ)
+            q = (
+                q4[0] * guide_blk[0, r]
+                + q4[1] * guide_blk[1, r]
+                + q4[2] * guide_blk[2, r]
+                + q4[3]
+            )
+            q = jnp.where(d_glob == 0, jnp.inf, q)
+            mins.append(jnp.min(q, axis=0))
+            args_.append((c * DC + jnp.argmin(q, axis=0)).astype(jnp.int32))
+        c_min = jnp.stack(mins)                  # (P, TH, TWQ)
+        c_arg = jnp.stack(args_)
         take = c_min < best
         return jnp.where(take, c_min, best), jnp.where(take, c_arg, arg)
 
@@ -189,20 +316,133 @@ def fgf_wta_pallas_maps(
     logical_hw: tuple[int, int],
     out_hw: tuple[int, int],
     d_chunk: int = 32,
+    poly: bool = False,        # polyphase column layout (see poly_col_params)
     interpret: bool = False,
 ) -> jax.Array:
     """WTA from a pre-stacked, pre-padded maps tensor (the layout
     kernels/lowmaps_pallas.py emits) — skips the (4, D, h, w) stack+pad
-    copy of the tuple entry point (~700 MB per view at 2K/d=256)."""
+    copy of the tuple entry point (~700 MB per view at 2K/d=256).
+    With poly=True the maps must be in the polyphase layout (left margin +
+    out_wp lanes; pass lowmaps out_wp/out_margin from poly_col_params)."""
     return _fgf_wta_pallas_impl(
         guide, maps, out_hw=out_hw, d_chunk=d_chunk, interpret=interpret,
-        logical_hw=logical_hw,
+        logical_hw=logical_hw, poly=poly,
     )
+
+
+def _wta_poly_run(guide, maps, h, w, out_hw, DC, pp, interpret):
+    H, W = out_hw
+    P, TWQ, ntxq = pp["P"], pp["TWQ"], pp["ntxq"]
+    margin, deltas, ncl = pp["margin"], pp["deltas"], pp["ncl"]
+    TH = POLY_TILE_H
+    D = maps.shape[1]
+    hp = _round_up(H, TH)
+    nty = hp // TH
+    wq_p = ntxq * TWQ
+    CS = TWQ + 2 * margin
+    want_w = margin + pp["out_wp"]
+
+    # periodicity sanity: the static in-kernel slices assume
+    # sx[P*k + r] == k + deltas[r] away from the clamped edges
+    sxW, fxW = linear_coeffs(w, W)
+    ks = np.arange(1, w - 1)
+    for r in range(P):
+        if not np.array_equal(sxW[P * ks + r], ks + deltas[r]):
+            raise ValueError(f"column scale {w}->{W} is not phase-periodic")
+
+    sy, fy = linear_coeffs(h, H)
+    sy = np.concatenate([sy, np.full(hp - H, sy[-1])])
+    fy = np.concatenate([fy, np.full(hp - H, fy[-1], np.float32)])
+    span_r = int((sy[np.minimum(np.arange(nty) * TH + TH - 1, hp - 1)]
+                  - (sy[np.arange(nty) * TH] // 8) * 8).max()) + 2
+    RS = _round_up(8 + span_r, 8)
+    row_start = ((sy[np.arange(nty) * TH] // 8) * 8).astype(np.int32)
+
+    HPm, WPm = maps.shape[2], maps.shape[3]
+    if WPm != want_w:
+        # plain-layout maps (tuple entry): bring into the poly layout
+        maps = jnp.pad(
+            maps,
+            ((0, 0), (0, 0), (0, 0), (margin, max(0, want_w - WPm - margin))),
+        )[..., :want_w]
+        HPm, WPm = maps.shape[2], maps.shape[3]
+    need_h = int(row_start.max()) + RS
+    if HPm < need_h:
+        maps = jnp.pad(maps, ((0, 0), (0, 0), (0, need_h - HPm), (0, 0)))
+        HPm = need_h
+    row_start = np.minimum(row_start, HPm - RS).astype(np.int32)
+    ry_rel = (sy - np.repeat(row_start, TH)).astype(np.float32)
+
+    ryw = np.zeros((nty, TH, 128), np.float32)
+    ryw[:, :, 0] = ry_rel.reshape(nty, TH)
+    ryw[:, :, 1] = fy.reshape(nty, TH)
+
+    wx = np.zeros((ntxq, 8, TWQ), np.float32)
+    for r in range(P):
+        idx = P * np.arange(wq_p) + r
+        wx[:, r, :] = fxW[np.minimum(idx, W - 1)].reshape(ntxq, TWQ)
+
+    # guide in phase-major column layout (3, P, hp, wq_p)
+    gp = jnp.moveaxis(guide, -1, 0)
+    gp = jnp.pad(gp, ((0, 0), (0, hp - H), (0, 0)))
+    gp = gp.reshape(3, hp, w, P)
+    gp = jnp.transpose(gp, (0, 3, 1, 2))
+    gp = jnp.pad(gp, ((0, 0), (0, 0), (0, 0), (0, wq_p - w)))
+
+    kernel = functools.partial(
+        _wta_kernel_poly, D=D, DC=DC, RS=RS, CS=CS, P=P, TWQ=TWQ, TH=TH,
+        deltas=deltas,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nty, ntxq),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                        # maps
+            pl.BlockSpec((3, P, TH, TWQ), lambda i, j, *_: (0, 0, i, j)),
+            pl.BlockSpec((1, TH, 128), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 8, TWQ), lambda i, j, *_: (j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((P, TH, TWQ), lambda i, j, *_: (0, i, j)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, DC, RS, CS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, hp, wq_p), jnp.int32),
+        interpret=interpret,
+    )(jnp.asarray(row_start), maps, gp, jnp.asarray(ryw), jnp.asarray(wx))
+
+    disp = jnp.transpose(out[:, :H, :w], (1, 2, 0)).reshape(H, W)
+
+    # left-edge fixup: output cols J < ncl have clamped source col 0 but
+    # the static phase slices read the (junk) margin — recompute them
+    # exactly (same two-term lerps and combine order as the kernel)
+    col0 = maps[:, :, :, margin]                        # (4, D, HPm)
+    sy_j = jnp.asarray(sy[:H])
+    fy_j = jnp.asarray(fy[:H])
+    r0v = jnp.take(col0, sy_j, axis=-1)
+    r1v = jnp.take(col0, jnp.minimum(sy_j + 1, HPm - 1), axis=-1)
+    qm = r0v * (1.0 - fy_j) + r1v * fy_j                # (4, D, H)
+    d_mask = (jnp.arange(D) == 0)[:, None]
+    for J in range(ncl):
+        g = guide[:H, J, :]                             # (H, 3)
+        qJ = (
+            qm[0] * g[:, 0][None]
+            + qm[1] * g[:, 1][None]
+            + qm[2] * g[:, 2][None]
+            + qm[3]
+        )
+        qJ = jnp.where(d_mask, jnp.inf, qJ)
+        disp = disp.at[:, J].set(jnp.argmin(qJ, axis=0).astype(jnp.int32))
+    return disp.astype(jnp.uint8)
 
 
 def _fgf_wta_pallas_impl(
     guide, mean_a_r, mean_a_g=None, mean_a_b=None, mean_b=None,
-    out_hw=None, d_chunk=32, interpret=False, logical_hw=None,
+    out_hw=None, d_chunk=32, interpret=False, logical_hw=None, poly=False,
 ) -> jax.Array:
     if mean_b is not None:
         maps = jnp.stack([mean_a_r, mean_a_g, mean_a_b, mean_b], axis=0)
@@ -215,6 +455,11 @@ def _fgf_wta_pallas_impl(
     DC = min(d_chunk, D)
     if D % DC:
         raise ValueError(f"D={D} not divisible by chunk {DC}")
+    if poly:
+        pp = poly_col_params(w, W)
+        if pp is None:
+            raise ValueError(f"polyphase WTA does not apply to {w}->{W}")
+        return _wta_poly_run(guide, maps, h, w, out_hw, DC, pp, interpret)
     hp = _round_up(H, TILE_H)
     wp = _round_up(W, TILE_W)
     nty, ntx = hp // TILE_H, wp // TILE_W

@@ -121,20 +121,27 @@ def stereo_gif_forward(
         # kernel emitting the maps in the WTA kernel's padded layout — the
         # maps are written once and DMA'd once (kernels/lowmaps_pallas.py)
         from primestereomatch_tpu.kernels.lowmaps_pallas import fgf_low_maps_pallas
-        from primestereomatch_tpu.kernels.wta_pallas import fgf_wta_pallas_maps
+        from primestereomatch_tpu.kernels.wta_pallas import (
+            fgf_wta_pallas_maps,
+            poly_col_params,
+        )
 
         h, w = lcv_low.shape[-2:]
+        # exact integer column upscale -> polyphase WTA kernel (elementwise
+        # lerps instead of the CS-deep column matmul; DMA-bound not MXU-bound)
+        pp = poly_col_params(w, W)
         lowm = functools.partial(
             fgf_low_maps_pallas, radius=cfg.gif_radius, eps=cfg.gif_eps,
             subsample=s,
+            out_wp=pp["out_wp"] if pp else None,
+            out_margin=pp["margin"] if pp else 0,
         )
         dc = min(32, cfg.max_dis)
-        l_disp = fgf_wta_pallas_maps(
-            l_img, lowm(l_img, lcv_low), (h, w), (H, W), d_chunk=dc
+        wta = functools.partial(
+            fgf_wta_pallas_maps, d_chunk=dc, poly=pp is not None,
         )
-        r_disp = fgf_wta_pallas_maps(
-            r_img, lowm(r_img, rcv_low), (h, w), (H, W), d_chunk=dc
-        )
+        l_disp = wta(l_img, lowm(l_img, lcv_low), (h, w), (H, W))
+        r_disp = wta(r_img, lowm(r_img, rcv_low), (h, w), (H, W))
     else:
         low = functools.partial(
             fgf_low_maps, radius=cfg.gif_radius, eps=cfg.gif_eps, subsample=s
@@ -242,18 +249,27 @@ def stereo_gif_forward_batch(
 
     if impl == "pallas":
         from primestereomatch_tpu.kernels.lowmaps_pallas import fgf_low_maps_pallas
-        from primestereomatch_tpu.kernels.wta_pallas import fgf_wta_pallas_maps
+        from primestereomatch_tpu.kernels.wta_pallas import (
+            fgf_wta_pallas_maps,
+            poly_col_params,
+        )
 
         dc = min(32, cfg.max_dis)
+        pp = poly_col_params(w, W)
         lowm = functools.partial(
             fgf_low_maps_pallas, radius=cfg.gif_radius, eps=cfg.gif_eps,
             subsample=s,
+            out_wp=pp["out_wp"] if pp else None,
+            out_margin=pp["margin"] if pp else 0,
+        )
+        wtp = functools.partial(
+            fgf_wta_pallas_maps, d_chunk=dc, poly=pp is not None,
         )
 
         def frame(args):
             li, ri, lc, rc = args
-            ld = fgf_wta_pallas_maps(li, lowm(li, lc), (h, w), (H, W), d_chunk=dc)
-            rd = fgf_wta_pallas_maps(ri, lowm(ri, rc), (h, w), (H, W), d_chunk=dc)
+            ld = wtp(li, lowm(li, lc), (h, w), (H, W))
+            rd = wtp(ri, lowm(ri, rc), (h, w), (H, W))
             if run_postprocess:
                 ld = _wmf_exact(ld, li, cfg)
                 rd = _wmf_exact(rd, ri, cfg)

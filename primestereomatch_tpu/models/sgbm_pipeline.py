@@ -45,9 +45,33 @@ def stereo_sgbm_forward(
     l_ftr = clipped_xderiv(l_img_u8, cfg.pre_filter_cap)
     r_ftr = clipped_xderiv(r_img_u8, cfg.pre_filter_cap)
 
+    # static value bound on the window cost (BT cost per channel is at most
+    # 2*cap since features live in [0, 2*cap]) — lets the aggregation scans
+    # write narrow dtypes without any value change
+    ch = l_img_u8.shape[2]
+    cost_bound = cfg.block_size**2 * ch * 2 * cfg.pre_filter_cap
     pix = _bt_cost_1d(l_ftr, r_ftr, cfg.num_disparities)
+    if cost_bound < 2**15:
+        pix = pix.astype(jnp.int16)
     C = block_cost(pix, cfg.block_size)
-    S = aggregate(C, cfg.p1, cfg.p2, cfg.num_directions)
+    agg_impl = cfg.agg_impl
+    if agg_impl == "auto":
+        # the Pallas scan kernel needs sublane-aligned D (int16 tiling)
+        agg_impl = (
+            "pallas"
+            if jax.default_backend() == "tpu" and cfg.num_disparities % 8 == 0
+            else "xla"
+        )
+    if agg_impl == "pallas":
+        from primestereomatch_tpu.kernels.sgbm_pallas import sgbm_aggregate_pallas
+
+        S = sgbm_aggregate_pallas(
+            C, cfg.p1, cfg.p2, cfg.num_directions, cost_bound=cost_bound
+        )
+    else:
+        S = aggregate(
+            C, cfg.p1, cfg.p2, cfg.num_directions, cost_bound=cost_bound
+        )
     disp16 = select_disparity(
         S, cfg.uniqueness_ratio, cfg.disp12_max_diff, cfg.min_disparity
     )

@@ -83,23 +83,39 @@ def _bt_cost_1d(l_ftr: jax.Array, r_ftr: jax.Array, max_dis: int) -> jax.Array:
     l_min = jnp.minimum(jnp.minimum(l_lo, l_hi), l_ftr)
     l_max = jnp.maximum(jnp.maximum(l_lo, l_hi), l_ftr)
 
-    def shift_r(a, d):
-        # sample a at x - d with border replication (static d -> static pad)
-        if d == 0:
-            return a
+    # all-d sampling via left-replicated pads + dynamic slices inside a
+    # `lax.map` over d-chunks: a fully unrolled Python loop over d emits
+    # O(D) HLO ops and blew the remote compiler past 270 s at d>=128 —
+    # chunking keeps the graph O(d_chunk) while the per-chunk work stays
+    # wide enough that the few sequential map steps cost nothing
+    def pad_l(a):
         return jnp.concatenate(
-            [jnp.repeat(a[:, :1], d, axis=1), a[:, :-d]], axis=1
+            [jnp.repeat(a[:, :1], max_dis, axis=1), a], axis=1
         )
 
-    costs = []
-    for d in range(max_dis):
-        rm = shift_r(r_min, d)
-        rM = shift_r(r_max, d)
-        rf = shift_r(r_ftr, d)
-        c1 = jnp.maximum(jnp.maximum(l_ftr - rM, rm - l_ftr), 0)
-        c2 = jnp.maximum(jnp.maximum(rf - l_max, l_min - rf), 0)
-        costs.append(jnp.sum(jnp.minimum(c1, c2), axis=-1))
-    return jnp.stack(costs, axis=-1)  # (H, W, D)
+    rm_p, rM_p, rf_p = pad_l(r_min), pad_l(r_max), pad_l(r_ftr)
+
+    d_chunk = max_dis
+    for cand in (32, 16, 8, 4, 2, 1):
+        if max_dis % cand == 0:
+            d_chunk = min(cand, max_dis)
+            break
+
+    def chunk(d0):
+        outs = []
+        for j in range(d_chunk):
+            start = max_dis - d0 - j
+            rm = lax.dynamic_slice_in_dim(rm_p, start, W, axis=1)
+            rM = lax.dynamic_slice_in_dim(rM_p, start, W, axis=1)
+            rf = lax.dynamic_slice_in_dim(rf_p, start, W, axis=1)
+            c1 = jnp.maximum(jnp.maximum(l_ftr - rM, rm - l_ftr), 0)
+            c2 = jnp.maximum(jnp.maximum(rf - l_max, l_min - rf), 0)
+            outs.append(jnp.sum(jnp.minimum(c1, c2), axis=-1))
+        return jnp.stack(outs, axis=-1)
+
+    res = lax.map(chunk, jnp.arange(0, max_dis, d_chunk))
+    # (n_chunks, H, W, d_chunk) -> (H, W, D) with d = chunk*d_chunk + j
+    return jnp.moveaxis(res, 0, 2).reshape(H, W, max_dis)
 
 
 def block_cost(pixel_cost: jax.Array, block_size: int) -> jax.Array:
@@ -112,7 +128,7 @@ def block_cost(pixel_cost: jax.Array, block_size: int) -> jax.Array:
     hi = k - 1 - lo
     p = jnp.pad(pixel_cost, ((lo, hi), (lo, hi), (0, 0)), mode="edge")
     return lax.reduce_window(
-        p, jnp.int32(0), lax.add, (k, k, 1), (1, 1, 1), "VALID"
+        p, jnp.zeros((), p.dtype), lax.add, (k, k, 1), (1, 1, 1), "VALID"
     )
 
 
@@ -152,7 +168,8 @@ def _dp_line(costs: jax.Array, p1: int, p2: int, shift: int) -> jax.Array:
 
 
 def _dp_line_stack(
-    costs: jax.Array, p1: int, p2: int, shifts, lane_plane=None
+    costs: jax.Array, p1: int, p2: int, shifts, lane_plane=None,
+    lane_groups=None, out_dtype=jnp.int32, unroll: int = 8,
 ) -> jax.Array:
     """Several directions sharing one `lax.scan`: costs (T, P, N, D) where
     P holds distinct cost planes and lane s (shifting laterally by
@@ -165,7 +182,14 @@ def _dp_line_stack(
     dominated by sequential scan steps, not FLOPs).
 
     lane_plane=None means P == len(shifts) with the identity mapping.
-    Returns (T, S, N, D) with S = len(shifts).
+    lane_groups: optional tuple of lane-index tuples; the emitted tensor
+    then holds the per-step SUM over each group instead of every lane —
+    at 2K/d=256 the six MODE_HH lanes would otherwise materialize a
+    (H, 6, W, D) int32 tensor (~17 GB, over HBM); two grouped sums in a
+    narrow dtype fit easily. The per-step math is int32 regardless;
+    out_dtype only narrows what is WRITTEN (callers guarantee range via
+    the static cost bound — see `aggregate`).
+    Returns (T, G, N, D) with G = len(lane_groups) (or S lanes ungrouped).
     """
     if lane_plane is None:
         lane_plane = tuple(range(len(shifts)))
@@ -203,8 +227,14 @@ def _dp_line_stack(
             jnp.minimum(Lp, jnp.minimum(d_lo, d_hi) + p1), minLp + p2
         )
         c_lanes = c if lane_plane == tuple(range(Sn)) else c[jnp.asarray(lane_plane)]
-        L = c_lanes + best - minLp
-        return (L, jnp.min(L, axis=-1, keepdims=True)), L
+        L = c_lanes.astype(jnp.int32) + best - minLp
+        if lane_groups is None:
+            out = L.astype(out_dtype)
+        else:
+            out = jnp.stack(
+                [sum(L[i] for i in grp) for grp in lane_groups]
+            ).astype(out_dtype)
+        return (L, jnp.min(L, axis=-1, keepdims=True)), out
 
     init = (
         jnp.zeros((Sn, N, D), jnp.int32),
@@ -212,14 +242,17 @@ def _dp_line_stack(
     )
     # unroll: the recurrence depth is fixed, but amortizing the scan loop
     # overhead over several steps matters more than the op-count here
-    _, Ls = lax.scan(step, init, costs, unroll=8)
-    return Ls  # (T, S, N, D)
+    _, Ls = lax.scan(step, init, costs, unroll=unroll)
+    return Ls  # (T, G, N, D)
 
 
-def aggregate(cost: jax.Array, p1: int, p2: int, num_directions: int = 8) -> jax.Array:
+def aggregate(
+    cost: jax.Array, p1: int, p2: int, num_directions: int = 8,
+    cost_bound: int | None = None,
+) -> jax.Array:
     """Sum the DP aggregation over scan directions.
 
-    cost: (H, W, D) int32 window cost. num_directions: 8 (MODE_HH,
+    cost: (H, W, D) integer window cost. num_directions: 8 (MODE_HH,
     the reference setting src/StereoMatch.cpp:656) aggregates W<->E, N<->S
     and both diagonals both ways; 5 (MODE_SGBM) uses the causal set
     {W->E, E->W, N->S, NW->SE, NE->SW}; 3 (MODE_SGBM_3WAY, the 'm'-key
@@ -230,35 +263,62 @@ def aggregate(cost: jax.Array, p1: int, p2: int, num_directions: int = 8) -> jax
     E->W lane consumes the x-flipped volume), and the three downward /
     three upward directions (straight + both shears) share one y-scan
     each. Integer arithmetic makes the direction summation order exact.
+
+    cost_bound: static upper bound on the window cost values (the pipeline
+    passes block_size^2 * channels * 2 * pre_filter_cap). Any direction's
+    L is <= cost_bound + p2 by induction (best - minL <= p2), so when the
+    3-lane group sums fit uint16 the scans EMIT narrow dtypes — at
+    2K/d=256 the six MODE_HH lanes in int32 would materialize ~17 GB
+    (over HBM); grouped uint16 sums are 1/6 of that. Values are identical:
+    the per-step math is int32 and only in-range writes are narrowed.
     """
     H, W, D = cost.shape
     if num_directions not in (3, 5, 8):
         raise ValueError(f"num_directions must be 3, 5 or 8, got {num_directions}")
 
+    l_bound = None if cost_bound is None else int(cost_bound) + int(p2)
+    lane_dt = jnp.int32
+    group_dt = jnp.int32
+    cost_dt = cost.dtype
+    if l_bound is not None:
+        if l_bound < 2**15:
+            lane_dt = jnp.int16
+            if int(cost_bound) < 2**15:
+                cost_dt = jnp.int16
+        if 3 * l_bound < 2**16:
+            group_dt = jnp.uint16
+
+    cost = cost.astype(cost_dt)
     cw = jnp.transpose(cost, (1, 0, 2))  # (W, H, D) — x-scans
     x_pair = jnp.stack([cw, jnp.flip(cw, axis=0)], axis=1)  # (W, 2, H, D)
-    Lx = _dp_line_stack(x_pair, p1, p2, (0, 0))
-    S = jnp.transpose(Lx[:, 0], (1, 0, 2))                      # W -> E
+    Lx = _dp_line_stack(x_pair, p1, p2, (0, 0), out_dtype=lane_dt)
+    S = jnp.transpose(Lx[:, 0], (1, 0, 2)).astype(jnp.int32)      # W -> E
     S = S + jnp.transpose(jnp.flip(Lx[:, 1], axis=0), (1, 0, 2))  # E -> W
 
     if num_directions == 3:
-        Ld = _dp_line_stack(cost[:, None], p1, p2, (0,))
+        Ld = _dp_line_stack(cost[:, None], p1, p2, (0,), out_dtype=lane_dt)
         return S + Ld[:, 0]                                 # N->S only
 
     if num_directions == 5:
-        # three downward lanes sharing ONE cost plane (straight + shears)
-        Ld = _dp_line_stack(cost[:, None], p1, p2, (0, 1, -1), (0, 0, 0))
-        return S + Ld[:, 0] + Ld[:, 1] + Ld[:, 2]           # N->S, NW->SE, NE->SW
+        # three downward lanes sharing ONE cost plane (straight + shears),
+        # summed inside the scan step (N->S + NW->SE + NE->SW)
+        Ld = _dp_line_stack(
+            cost[:, None], p1, p2, (0, 1, -1), (0, 0, 0),
+            lane_groups=((0, 1, 2),), out_dtype=group_dt,
+        )
+        return S + Ld[:, 0]
 
     # MODE_HH: all six y-directions ride ONE scan — lanes 0-2 consume the
     # natural row order, lanes 3-5 the flipped volume (plane 1), so the
-    # sequential y latency is paid once, not twice
+    # sequential y latency is paid once, not twice; each 3-lane group is
+    # summed inside the step so only two planes ever hit HBM
     pair = jnp.stack([cost, jnp.flip(cost, axis=0)], axis=1)  # (H, 2, W, D)
     Lb = _dp_line_stack(
-        pair, p1, p2, (0, 1, -1, 0, 1, -1), (0, 0, 0, 1, 1, 1)
+        pair, p1, p2, (0, 1, -1, 0, 1, -1), (0, 0, 0, 1, 1, 1),
+        lane_groups=((0, 1, 2), (3, 4, 5)), out_dtype=group_dt,
     )
-    S = S + Lb[:, 0] + Lb[:, 1] + Lb[:, 2]
-    S = S + jnp.flip(Lb[:, 3] + Lb[:, 4] + Lb[:, 5], axis=0)
+    S = S + Lb[:, 0]
+    S = S + jnp.flip(Lb[:, 1], axis=0)
     return S
 
 
@@ -340,19 +400,26 @@ def filter_speckles(
     (cv::filterSpeckles semantics: 4-connectivity, |d(p)-d(q)| <= max_diff,
     components with area <= max_speckle_size are set to invalid_value).
 
-    TPU-native connected components: min-label propagation with pointer
-    jumping (label doubling) inside a `lax.while_loop`. The hook step moves
-    the minimum one graph hop per iteration; the jump step (lbl <- lbl[lbl])
-    doubles the pointer distance, so convergence is O(log path-length) even
-    for serpentine components whose internal path far exceeds H+W (the
-    default max_iters cap is therefore never binding — it is a safety bound
-    only). Area via one scatter-add; everything else is vector math.
+    TPU-native connected components: min-label propagation inside a
+    `lax.while_loop` whose body is one 4-neighbour hook step plus four
+    SEGMENTED min-scans (associative_scan along rows forward/backward and
+    columns down/up, segment boundaries = broken connectivity). A scan
+    carries the minimum across an entire straight run in one shot, so the
+    iteration count is the number of BENDS in the worst min-label path —
+    not its length — and serpentine components converge orders of magnitude
+    before any path-length bound. The loop runs purely on the `changed`
+    flag (labels strictly decrease, so termination is guaranteed); it is
+    exact, not capped. Everything is vector math — no gathers: an earlier
+    pointer-jumping variant (lbl <- lbl[lbl]) was O(log path) in iterations
+    but its per-iteration HW gather cost ~580 ms/frame on TPU vs ~1 ms for
+    this formulation. Area via one scatter-add.
+
+    max_iters: optional hard cap for tests/adversarial inputs; None (the
+    default) means run to convergence.
     """
     H, W = disp16.shape
     d = disp16.astype(jnp.int32)
     valid = d != invalid_value
-    if max_iters is None:
-        max_iters = H + W
 
     lin = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
     labels0 = jnp.where(valid, lin, jnp.int32(H * W))
@@ -379,6 +446,19 @@ def filter_speckles(
     conn_rt = valid & jnp.roll(valid, -1, axis=1) & (jnp.abs(d - d_rt) <= max_diff)
     conn_rt = conn_rt.at[:, -1].set(False)
 
+    def comb(a, b):
+        # segmented min: flag True means "connected to the scan
+        # predecessor"; the standard (associative) segmented-scan operator
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, jnp.minimum(av, bv), bv), af & bf
+
+    # forward/backward direction pairs ride ONE stacked scan each (the
+    # backward lane consumes the flipped image); flipped masks are
+    # loop-invariant so they are built once here
+    conn_row = jnp.stack([conn_lf, conn_rt[:, ::-1]])
+    conn_col = jnp.stack([conn_up, conn_dn[::-1]])
+
     def body(state):
         lbl, _, it = state
         # hook: take the min label over connected neighbours
@@ -388,17 +468,27 @@ def filter_speckles(
         m = jnp.minimum(m, jnp.where(conn_dn, dn, big))
         m = jnp.minimum(m, jnp.where(conn_lf, lf, big))
         m = jnp.minimum(m, jnp.where(conn_rt, rt, big))
-        # jump: lbl <- lbl[lbl]. m[p] is a pixel index inside p's component,
-        # so m[m[p]] is too — the invariant holds and labels only decrease.
-        flat = m.reshape(-1)
-        jumped = flat[jnp.minimum(m, big - 1)]
-        m = jnp.where(m == big, big, jnp.minimum(m, jumped))
+        # run propagation: carry the min across whole straight segments —
+        # rows (both directions) then columns (both directions)
+        r, _ = lax.associative_scan(
+            comb, (jnp.stack([m, m[:, ::-1]]), conn_row), axis=2
+        )
+        m = jnp.minimum(r[0], r[1][:, ::-1])
+        c_, _ = lax.associative_scan(
+            comb, (jnp.stack([m, m[::-1]]), conn_col), axis=1
+        )
+        m = jnp.minimum(c_[0], c_[1][::-1])
         changed = jnp.any(m != lbl)
         return m, changed, it + 1
 
-    def cond(state):
-        _, changed, it = state
-        return changed & (it < max_iters)
+    if max_iters is None:
+        def cond(state):
+            _, changed, _ = state
+            return changed
+    else:
+        def cond(state):
+            _, changed, it = state
+            return changed & (it < max_iters)
 
     labels, _, _ = lax.while_loop(cond, body, (labels0, jnp.bool_(True), 0))
 

@@ -98,8 +98,11 @@ def main():
         rb = jnp.broadcast_to(r64, (B, *r64.shape))
         fb = jax.jit(lambda a, b: stereo_gif_forward_batch(a, b, cfg))
         record("gif_teddy_batch8", bench(fb, (lb, rb), iters=5), scale=B)
-        fv = jax.jit(jax.vmap(lambda a, b: stereo_gif_forward(a, b, cfg)))
-        record("gif_teddy_batch8_vmap", bench(fv, (lb, rb), iters=5), scale=B)
+        # the naive-vmap comparison runs the XLA impls (the Pallas maps
+        # entry point has no batching rule — vmapping it is unsupported)
+        cfg_x = GIFConfig(wta_impl="xla", wmf_impl="jnp")
+        fv = jax.jit(jax.vmap(lambda a, b: stereo_gif_forward(a, b, cfg_x)))
+        record("gif_teddy_batch8_vmap_xla", bench(fv, (lb, rb), iters=5), scale=B)
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"config": "gif_teddy_batch8", "error": str(e)[:200]}))
 
@@ -125,8 +128,10 @@ def main():
         from primestereomatch_tpu.parallel import MeshPlan, make_mesh, make_sharded_gif
 
         mesh = make_mesh(MeshPlan(1, 1, 1), jax.devices()[:1])
+        # Teddy's 375 rows are not a multiple of s=4: crop to 372x448 for
+        # the sharded step's alignment contract (H % (s*yn), W % s)
         for name, (lx, rx), c, it in (
-            ("gif_teddy_sharded_mesh111", (l64, r64), cfg, 10),
+            ("gif_teddy372_sharded_mesh111", (l64[:372, :448], r64[:372, :448]), cfg, 10),
             ("gif_2k_sharded_mesh111", (l2k, r2k), cfg256, 3),
         ):
             step = make_sharded_gif(mesh, c)

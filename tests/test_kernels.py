@@ -130,6 +130,45 @@ def test_lowmaps_pallas_matches_jnp(rng, H, W, D, s):
     assert (d_kernel != d_xla).mean() <= 2e-3
 
 
+@pytest.mark.parametrize("H,W,D,s", [(128, 256, 16, 4), (96, 256, 8, 2), (64, 512, 8, 8), (120, 640, 16, 4)])
+def test_wta_poly_matches_matmul_kernel(rng, H, W, D, s):
+    """Polyphase column WTA (static lane slices + per-phase lerps) must be
+    EXACTLY equal to the generic banded-matmul kernel at exact integer
+    column upscaling — same two-term lerps, different dataflow. Covers the
+    left-edge XLA fixup columns and a non-multiple-of-TWQ width (640/4)."""
+    from primestereomatch_tpu.kernels.lowmaps_pallas import fgf_low_maps_pallas
+    from primestereomatch_tpu.kernels.wta_pallas import (
+        fgf_wta_pallas_maps,
+        poly_col_params,
+    )
+
+    h, w = H // s, W // s
+    pp = poly_col_params(w, W)
+    assert pp is not None and pp["P"] == s
+    g = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+    p = jnp.asarray(rng.random((D, h, w)).astype(np.float32))
+    maps_plain = fgf_low_maps_pallas(g, p, 8, 1e-4, s, interpret=True)
+    ref = np.asarray(fgf_wta_pallas_maps(
+        g, maps_plain, (h, w), (H, W), d_chunk=min(8, D), interpret=True
+    ))
+    maps_poly = fgf_low_maps_pallas(
+        g, p, 8, 1e-4, s, out_wp=pp["out_wp"], out_margin=pp["margin"],
+        interpret=True,
+    )
+    assert maps_poly.shape[-1] == pp["margin"] + pp["out_wp"]
+    got = np.asarray(fgf_wta_pallas_maps(
+        g, maps_poly, (h, w), (H, W), d_chunk=min(8, D), poly=True,
+        interpret=True,
+    ))
+    np.testing.assert_array_equal(got, ref)
+    # tuple-layout maps route through the same poly path (auto re-padding)
+    got2 = np.asarray(fgf_wta_pallas_maps(
+        g, maps_plain, (h, w), (H, W), d_chunk=min(8, D), poly=True,
+        interpret=True,
+    ))
+    np.testing.assert_array_equal(got2, ref)
+
+
 def test_lowmaps_pallas_vmap(rng):
     from primestereomatch_tpu.kernels.lowmaps_pallas import fgf_low_maps_pallas
     import jax
@@ -142,3 +181,23 @@ def test_lowmaps_pallas_vmap(rng):
     for i in range(B):
         single = np.asarray(fn(g[i], p[i]))
         np.testing.assert_array_equal(batched[i], single)
+
+
+@pytest.mark.parametrize(
+    "H,W,D,nd,bound",
+    [(40, 56, 16, 8, 9450), (33, 45, 16, 5, 9450), (24, 64, 32, 3, 9450),
+     (48, 48, 16, 8, None)],
+)
+def test_sgbm_aggregate_pallas_matches_xla(rng, H, W, D, nd, bound):
+    """The VMEM-carry scan kernel must be bit-exact vs the XLA lax.scan
+    aggregation for all three direction modes, with and without the
+    narrow-dtype bound (int32 fallback)."""
+    from primestereomatch_tpu.kernels.sgbm_pallas import sgbm_aggregate_pallas
+    from primestereomatch_tpu.ops.sgbm import aggregate
+
+    C = jnp.asarray(rng.integers(0, 9450, (H, W, D)).astype(np.int32))
+    ref = np.asarray(aggregate(C, 600, 2400, nd, cost_bound=bound))
+    got = np.asarray(sgbm_aggregate_pallas(
+        C, 600, 2400, nd, cost_bound=bound, interpret=True
+    ))
+    np.testing.assert_array_equal(got, ref)
