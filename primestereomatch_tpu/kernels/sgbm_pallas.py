@@ -7,22 +7,34 @@ emitted plane in HBM, carry repacking), which dominates SGBM wall-clock
 on TPU (CLAUDE.md round-2 lever). This kernel runs the same recurrence
 with the carry RESIDENT IN VMEM across a sequential 1-D grid:
 
-  * grid = (T,): TPU grid steps execute in order, so a VMEM scratch
+  * grid = (T/R,): TPU grid steps execute in order, so a VMEM scratch
     carries (L, implicitly min_d L) from step to step; Pallas
     double-buffers the per-step cost planes and output stores
     automatically via the BlockSpec index maps.
+  * R scan rows ride each grid step (static in-kernel loop): the
+    sequential DMA/grid overhead is paid T/R times instead of T while
+    the recurrence math is unchanged. T is zero-padded up to R|T —
+    a zero cost row maps the all-zero initial carry to itself (L' =
+    0 + best - minL = 0), so reversed lanes that consume the padding
+    FIRST enter the real rows with the exact initial state, and forward
+    lanes only ever write padding rows that are sliced off.
   * both scan orientations ride ONE kernel launch: the backward lanes
-    read the SAME cost tensor through a second operand whose index map
-    runs t -> T-1-t, and write through an output whose index map does
-    the same — no materialized flipped copies anywhere (the XLA path
-    stacks a flipped volume: 2.8 GB at 2K/d=256).
+    read the SAME cost tensor through a second operand whose block index
+    map runs t -> Tb-1-t (rows consumed in reverse inside the block),
+    and write through an output mapped the same way — no materialized
+    flipped copies anywhere (the XLA path stacks a flipped volume:
+    2.8 GB at 2K/d=256). When the blocks + carry do not fit VMEM
+    (~16 MB/core) the launch auto-splits into forward/backward halves.
   * layout is (T, D, N): D on sublanes (d+-1 penalty shifts are sublane
     rolls, min over d a sublane reduce), the line axis N on lanes
     (diagonal shears are lane rolls with a zero shifted in at the
     global edge — `_dp_line` semantics, L=0/minL=0 outside).
-  * per-direction math is int32 in VMEM; HBM only ever sees the narrow
-    dtypes (int16 costs in, uint16 grouped sums out) when the static
-    cost bound allows — identical values, half the traffic.
+  * when the static cost bound allows (l_bound = cost_bound + p2 <
+    2**15), the carry, cost blocks and emitted sums are all 16-bit —
+    half the VMEM footprint and HBM traffic. The arithmetic itself runs
+    int32 (this Mosaic toolchain has no int16 reductions or sublane
+    rotates); narrowing is exact because L <= l_bound by induction
+    (best - minL <= p2) and group sums of 3 nonneg lanes stay < 2**16.
 
 Semantics are EXACTLY `ops/sgbm.py::_dp_line_stack` (oracle
 tests/oracle_sgbm.py; interpret-mode equality in tests/test_kernels.py).
@@ -42,6 +54,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = np.int32(1 << 28)
+# single-launch VMEM budget: double-buffered in/out blocks + carry must
+# stay under the ~16 MB/core VMEM (leave headroom for Mosaic temporaries)
+_VMEM_BUDGET = 12 * 1024 * 1024
+# test/tuning hook: force the rows-per-step choice (None = auto by budget)
+_FORCE_R = None
 
 
 def _round_up(x: int, m: int) -> int:
@@ -59,13 +76,25 @@ def _roll(x, sh: int, axis: int):
 def _sgbm_scan_kernel(
     *refs,
     shifts: tuple,
-    lane_op: tuple,            # operand index (0 fwd / 1 bwd) per lane
-    groups: tuple,             # tuple of (lane_indices, out_index)
+    lane_op: tuple,            # operand index per lane
+    lane_rev: tuple,           # True = lane consumes its block reversed
+    groups: tuple,             # (lane_indices, out_index, reversed) per group
     p1: int, p2: int,
-    n_valid: int, Dp: int, Np: int,
+    n_valid: int, Dp: int, Np: int, R: int,
     n_in: int,
     out_dtype,
+    math_dtype,
+    acc_dtype,
 ):
+    """math_dtype int16 keeps the carry, loads and stores on narrow
+    vectors (half the VMEM footprint — the enabling constraint for
+    single-launch 2K); the rolls and the min-reduce run through int32
+    because this Mosaic toolchain implements neither int16 reductions
+    nor int16 sublane rotates. The caller guarantees
+    l_bound < 2**15 so no narrowed value can wrap (L <= l_bound by
+    induction: best - minL <= p2). Group sums accumulate lane-by-lane in
+    acc_dtype (uint16 when 3 * l_bound < 2**16 — exact) so at most one
+    extra plane per output group is ever live."""
     c_refs = refs[:n_in]
     out_refs = refs[n_in:n_in + len(groups)]
     L_ref = refs[n_in + len(groups)]
@@ -76,45 +105,60 @@ def _sgbm_scan_kernel(
     def _():
         L_ref[:] = jnp.zeros_like(L_ref)
 
-    lane_ix = jax.lax.broadcasted_iota(jnp.int32, (Dp, Np), 1)
-    sub_ix = jax.lax.broadcasted_iota(jnp.int32, (Dp, Np), 0)
+    lane_ix = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
+    sub_ix = jax.lax.broadcasted_iota(jnp.int32, (Dp, 1), 0)
+    big = jnp.int32(_BIG)
+    # masks are loop-invariant: build once, reuse across rows and lanes
+    m_first_lane = lane_ix >= 1                  # (1, Np)
+    m_last_lane = lane_ix < n_valid - 1
+    m_sub_lo = jnp.broadcast_to(sub_ix >= 1, (Dp, Np))
+    m_sub_hi = jnp.broadcast_to(sub_ix < Dp - 1, (Dp, Np))
     p1_ = jnp.int32(p1)
     p2_ = jnp.int32(p2)
 
-    Ls = []
-    for si, sh in enumerate(shifts):
-        Lp = L_ref[si]
-        minLp = jnp.min(Lp, axis=0, keepdims=True)        # (1, Np)
-        if sh == 1:
-            # shear: lane i <- lane i-1, zero shifted in at the edge
-            Lp = _roll(Lp, 1, axis=1)
-            minLp = _roll(minLp, 1, axis=1)
-            Lp = jnp.where(lane_ix >= 1, Lp, 0)
-            minLp = jnp.where(lane_ix[:1] >= 1, minLp, 0)
-        elif sh == -1:
-            # lane i <- lane i+1; the lane entering at the global edge
-            # (and all padding) becomes zero
-            Lp = _roll(Lp, -1, axis=1)
-            minLp = _roll(minLp, -1, axis=1)
-            Lp = jnp.where(lane_ix < n_valid - 1, Lp, 0)
-            minLp = jnp.where(lane_ix[:1] < n_valid - 1, minLp, 0)
-        d_lo = _roll(Lp, 1, axis=0)
-        d_lo = jnp.where(sub_ix >= 1, d_lo, _BIG)
-        d_hi = _roll(Lp, -1, axis=0)
-        d_hi = jnp.where(sub_ix < Dp - 1, d_hi, _BIG)
-        best = jnp.minimum(
-            jnp.minimum(Lp, jnp.minimum(d_lo, d_hi) + p1_), minLp + p2_
-        )
-        c = c_refs[lane_op[si]][0].astype(jnp.int32)
-        L = c + best - minLp
-        Ls.append(L)
-        L_ref[si] = L
+    # lane index -> (group tuple, position in group) for on-the-fly sums
+    lane_group = {}
+    for lanes, oi, rev in groups:
+        for j, i in enumerate(lanes):
+            lane_group[i] = (lanes, oi, rev, j)
 
-    for lanes, oi in groups:
-        acc = Ls[lanes[0]]
-        for i in lanes[1:]:
-            acc = acc + Ls[i]
-        out_refs[oi][0] = acc.astype(out_dtype)
+    for ri in range(R):
+        accs = [None] * len(groups)
+        for si, sh in enumerate(shifts):
+            Lp = L_ref[si].astype(jnp.int32)
+            minLp = jnp.min(Lp, axis=0, keepdims=True)        # (1, Np)
+            if sh == 1:
+                # shear: lane i <- lane i-1, zero shifted in at the edge
+                Lp = jnp.where(m_first_lane, _roll(Lp, 1, axis=1), 0)
+                minLp = jnp.where(m_first_lane, _roll(minLp, 1, axis=1), 0)
+            elif sh == -1:
+                # lane i <- lane i+1; the lane entering at the global edge
+                # (and all padding) becomes zero
+                Lp = jnp.where(m_last_lane, _roll(Lp, -1, axis=1), 0)
+                minLp = jnp.where(m_last_lane, _roll(minLp, -1, axis=1), 0)
+            # masked entries never win: Lp <= l_bound < big + p1 is
+            # always a candidate of `best`
+            d_lo = jnp.where(m_sub_lo, _roll(Lp, 1, axis=0), big)
+            d_hi = jnp.where(m_sub_hi, _roll(Lp, -1, axis=0), big)
+            best = jnp.minimum(
+                jnp.minimum(Lp, jnp.minimum(d_lo, d_hi) + p1_), minLp + p2_
+            )
+            # reversed lanes consume their block's rows back-to-front
+            row = R - 1 - ri if lane_rev[si] else ri
+            c = c_refs[lane_op[si]][row].astype(jnp.int32)
+            L = c + best - minLp
+            L_ref[si] = L.astype(math_dtype)
+            lanes, oi, rev, j = lane_group[si]
+            a = L.astype(acc_dtype)
+            accs[oi] = a if j == 0 else accs[oi] + a
+            if j == len(lanes) - 1:
+                out_refs[oi][R - 1 - ri if rev else ri] = accs[oi].astype(out_dtype)
+                accs[oi] = None
+
+
+def _plan_bytes(R, Dp, Np, n_in, n_out, in_size, out_size, n_lanes, carry_size):
+    blocks = 2 * R * Dp * Np * (n_in * in_size + n_out * out_size)
+    return blocks + n_lanes * Dp * Np * carry_size
 
 
 def sgbm_scan_pallas(
@@ -125,25 +169,87 @@ def sgbm_scan_pallas(
     groups: tuple,             # tuple of (lane_indices, reversed) output groups
     n_valid: int,              # logical line length (<= Np)
     out_dtype=jnp.uint16,
+    math_dtype=jnp.int32,      # carry/storage dtype (compute is int32)
+    acc_dtype=jnp.int32,       # in-kernel group-sum dtype
     interpret: bool = False,
 ):
-    """Run all lanes over the T axis in one launch. Forward lanes read
-    step t, reversed lanes read step T-1-t (same array, second operand —
-    no flipped copy). Each group emits sum(L over its lanes) as its own
-    (T, Dp, Np) output; groups marked reversed are written back in
-    natural orientation (their index map reverses too). Returns a tuple
-    of group outputs."""
+    """Run all lanes over the T axis in one launch (or two when VMEM
+    demands — see `_plan`). Forward lanes read step t, reversed lanes
+    read step T-1-t (same array, second operand — no flipped copy).
+    Each group emits sum(L over its lanes) as its own (T, Dp, Np)
+    output; groups marked reversed are written back in natural
+    orientation (their index map reverses too). Returns a tuple of
+    group outputs ordered as `groups`."""
     T, Dp, Np = cost_tdn.shape
-    need_bwd = any(lane_dir)
-    lane_op = tuple(1 if d else 0 for d in lane_dir)
-    n_in = 2 if need_bwd else 1
+    in_size = cost_tdn.dtype.itemsize
+    out_size = jnp.dtype(out_dtype).itemsize
+    carry_size = jnp.dtype(math_dtype).itemsize
 
-    in_specs = [pl.BlockSpec((1, Dp, Np), lambda t: (t, 0, 0))]
-    operands = [cost_tdn]
-    if need_bwd:
-        in_specs.append(
-            pl.BlockSpec((1, Dp, Np), lambda t, T=T: (T - 1 - t, 0, 0))
-        )
+    # --- launch plan: largest R fitting the budget; split fwd/bwd if not -
+    def best_r(n_in, n_out, n_lanes):
+        if _FORCE_R is not None:
+            return _FORCE_R
+        for r in (8, 4, 2, 1):
+            if _plan_bytes(r, Dp, Np, n_in, n_out, in_size, out_size,
+                           n_lanes, carry_size) <= _VMEM_BUDGET:
+                return r
+        return None
+
+    # one operand per scan orientation actually used (a split bwd-only
+    # launch must not stream a dead forward copy of the cost)
+    used_dirs = sorted(set(lane_dir))
+    n_in = len(used_dirs)
+    op_ix = {d_: i for i, d_ in enumerate(used_dirs)}
+    R = best_r(n_in, len(groups), len(shifts))
+    if R is None and n_in == 2:
+        # split into forward-only and backward-only launches; each output
+        # group must then be pure fwd or pure bwd (true for every caller:
+        # groups mirror the scan orientation)
+        outs = [None] * len(groups)
+        for want in (False, True):
+            l_sel = [i for i, d_ in enumerate(lane_dir) if d_ == want]
+            if not l_sel:
+                continue
+            remap = {g: i for i, g in enumerate(l_sel)}
+            sub_groups = []
+            pos = []
+            for gi, (lanes, rev) in enumerate(groups):
+                if all(i in remap for i in lanes):
+                    sub_groups.append((tuple(remap[i] for i in lanes), rev))
+                    pos.append(gi)
+                elif any(i in remap for i in lanes):
+                    raise ValueError("mixed fwd/bwd output group cannot split")
+            sub = sgbm_scan_pallas(
+                cost_tdn, p1, p2,
+                tuple(shifts[i] for i in l_sel),
+                tuple(lane_dir[i] for i in l_sel),
+                tuple(sub_groups), n_valid,
+                out_dtype=out_dtype, math_dtype=math_dtype,
+                acc_dtype=acc_dtype, interpret=interpret,
+            )
+            for gi, o in zip(pos, sub):
+                outs[gi] = o
+        return tuple(outs)
+    if R is None:
+        R = 1  # single-orientation launch too big: let Mosaic try anyway
+
+    # --- zero-pad T to a multiple of R (see module docstring) -------------
+    Tp = _round_up(T, R)
+    if Tp != T:
+        cost_tdn = jnp.pad(cost_tdn, ((0, Tp - T), (0, 0), (0, 0)))
+    Tb = Tp // R
+
+    lane_op = tuple(op_ix[d_] for d_ in lane_dir)
+
+    in_specs = []
+    operands = []
+    for d_ in used_dirs:
+        if d_:
+            in_specs.append(
+                pl.BlockSpec((R, Dp, Np), lambda t, Tb=Tb: (Tb - 1 - t, 0, 0))
+            )
+        else:
+            in_specs.append(pl.BlockSpec((R, Dp, Np), lambda t: (t, 0, 0)))
         operands.append(cost_tdn)
 
     out_specs = []
@@ -152,29 +258,36 @@ def sgbm_scan_pallas(
     for oi, (lanes, rev) in enumerate(groups):
         if rev:
             out_specs.append(
-                pl.BlockSpec((1, Dp, Np), lambda t, T=T: (T - 1 - t, 0, 0))
+                pl.BlockSpec((R, Dp, Np), lambda t, Tb=Tb: (Tb - 1 - t, 0, 0))
             )
         else:
-            out_specs.append(pl.BlockSpec((1, Dp, Np), lambda t: (t, 0, 0)))
-        out_shapes.append(jax.ShapeDtypeStruct((T, Dp, Np), out_dtype))
-        kgroups.append((tuple(lanes), oi))
+            out_specs.append(pl.BlockSpec((R, Dp, Np), lambda t: (t, 0, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((Tp, Dp, Np), out_dtype))
+        kgroups.append((tuple(lanes), oi, bool(rev)))
 
     kernel = functools.partial(
         _sgbm_scan_kernel,
-        shifts=tuple(shifts), lane_op=lane_op, groups=tuple(kgroups),
-        p1=p1, p2=p2, n_valid=n_valid, Dp=Dp, Np=Np, n_in=n_in,
-        out_dtype=out_dtype,
+        shifts=tuple(shifts), lane_op=lane_op,
+        lane_rev=tuple(bool(d_) for d_ in lane_dir), groups=tuple(kgroups),
+        p1=p1, p2=p2, n_valid=n_valid, Dp=Dp, Np=Np, R=R, n_in=n_in,
+        out_dtype=out_dtype, math_dtype=math_dtype, acc_dtype=acc_dtype,
     )
     outs = pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(Tb,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((len(shifts), Dp, Np), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((len(shifts), Dp, Np), math_dtype)],
         interpret=interpret,
     )(*operands)
-    return outs if isinstance(outs, (tuple, list)) else (outs,)
+    outs = outs if isinstance(outs, (tuple, list)) else (outs,)
+    if Tp != T:
+        # padding rows: fwd groups' tail / bwd groups' tail (their index
+        # map wrote the pad block last in natural orientation too — the
+        # pad always lands at rows >= T for both)
+        outs = tuple(o[:T] for o in outs)
+    return outs
 
 
 @functools.partial(
@@ -191,7 +304,7 @@ def sgbm_aggregate_pallas(
     """Drop-in replacement for `ops/sgbm.py::aggregate` on TPU: same
     direction sets (8 = MODE_HH, 5 = MODE_SGBM, 3 = MODE_SGBM_3WAY,
     reference toggle src/main.cpp:161-163), same integer math, scans run
-    as Pallas kernels. Returns (H, W, D) int32."""
+    as Pallas kernels. Returns (H, W) int32."""
     H, W, D = cost.shape
     if num_directions not in (3, 5, 8):
         raise ValueError(f"num_directions must be 3, 5 or 8, got {num_directions}")
@@ -204,6 +317,15 @@ def sgbm_aggregate_pallas(
     else:
         out_dt = jnp.int32
         cost_dt = jnp.int32
+    # narrow carry storage: any single lane's L is <= l_bound by
+    # induction (best - minL <= p2); compute stays int32 in-kernel
+    math_dt = (
+        jnp.int16 if (l_bound is not None and l_bound < 2**15) else jnp.int32
+    )
+    acc_dt = (
+        jnp.uint16 if (l_bound is not None and 3 * l_bound < 2**16)
+        else jnp.int32
+    )
     cost = cost.astype(cost_dt)
 
     Hp = _round_up(H, 128)
@@ -215,7 +337,8 @@ def sgbm_aggregate_pallas(
     Lx_f, Lx_b = sgbm_scan_pallas(
         cx, p1, p2, shifts=(0, 0), lane_dir=(False, True),
         groups=(((0,), False), ((1,), True)), n_valid=H,
-        out_dtype=out_dt, interpret=interpret,
+        out_dtype=out_dt, math_dtype=math_dt, acc_dtype=acc_dt,
+        interpret=interpret,
     )
     # (W, D, Hp) -> (H, W, D)
     S = jnp.transpose(Lx_f[:, :, :H], (2, 0, 1)).astype(jnp.int32)
@@ -228,14 +351,16 @@ def sgbm_aggregate_pallas(
         (Ld,) = sgbm_scan_pallas(
             cy, p1, p2, shifts=(0,), lane_dir=(False,),
             groups=(((0,), False),), n_valid=W,
-            out_dtype=out_dt, interpret=interpret,
+            out_dtype=out_dt, math_dtype=math_dt, acc_dtype=acc_dt,
+            interpret=interpret,
         )
         return S + jnp.transpose(Ld[:, :, :W], (0, 2, 1))
     if num_directions == 5:
         (Ld,) = sgbm_scan_pallas(
             cy, p1, p2, shifts=(0, 1, -1), lane_dir=(False, False, False),
             groups=(((0, 1, 2), False),), n_valid=W,
-            out_dtype=out_dt, interpret=interpret,
+            out_dtype=out_dt, math_dtype=math_dt, acc_dtype=acc_dt,
+            interpret=interpret,
         )
         return S + jnp.transpose(Ld[:, :, :W], (0, 2, 1))
 
@@ -243,7 +368,8 @@ def sgbm_aggregate_pallas(
         cy, p1, p2, shifts=(0, 1, -1, 0, 1, -1),
         lane_dir=(False, False, False, True, True, True),
         groups=(((0, 1, 2), False), ((3, 4, 5), True)), n_valid=W,
-        out_dtype=out_dt, interpret=interpret,
+        out_dtype=out_dt, math_dtype=math_dt, acc_dtype=acc_dt,
+        interpret=interpret,
     )
     S = S + jnp.transpose(Ld_f[:, :, :W], (0, 2, 1))
     S = S + jnp.transpose(Ld_b[:, :, :W], (0, 2, 1))

@@ -201,3 +201,23 @@ def test_sgbm_aggregate_pallas_matches_xla(rng, H, W, D, nd, bound):
         C, 600, 2400, nd, cost_bound=bound, interpret=True
     ))
     np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("budget", [1, 250_000])
+def test_sgbm_aggregate_pallas_split_launch(rng, monkeypatch, budget):
+    """Force the VMEM planner into its fallback shapes: budget=250k picks
+    small rows-per-step, budget=1 forces the forward/backward launch
+    split (2K/d=256 territory) — both must stay bit-exact."""
+    import primestereomatch_tpu.kernels.sgbm_pallas as sp
+    from primestereomatch_tpu.ops.sgbm import aggregate
+
+    monkeypatch.setattr(sp, "_VMEM_BUDGET", budget)
+    # shape must differ per budget case: the planner reads the budget at
+    # trace time, so a jit cache hit would reuse the other plan
+    H, W, D = 40, (52 if budget == 250_000 else 60), 16
+    C = jnp.asarray(rng.integers(0, 9450, (H, W, D)).astype(np.int32))
+    ref = np.asarray(aggregate(C, 600, 2400, 8, cost_bound=9450))
+    got = np.asarray(sp.sgbm_aggregate_pallas(
+        C, 600, 2400, 8, cost_bound=9450, interpret=True
+    ))
+    np.testing.assert_array_equal(got, ref)
