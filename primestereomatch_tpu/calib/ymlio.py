@@ -54,6 +54,33 @@ def read_opencv_yml(path: str) -> dict[str, np.ndarray | float | int | str]:
     return out
 
 
+def read_imagelist(path: str) -> list[str]:
+    """Read a cv::FileStorage string-list (the reference's chessboard
+    imagelist, ``readStringList`` src/StereoCalib.cpp:349-361; file
+    data/stereo_calib.xml). The list is the first top-level sequence node;
+    entries are interleaved left/right filenames. Supports the XML storage
+    form (whitespace-separated tokens inside the node) and the YML form
+    (``- "name"`` items or a bracketed flow list)."""
+    with open(path) as f:
+        text = f.read()
+    if text.lstrip().startswith("<?xml") or "<opencv_storage>" in text:
+        m = re.search(r"<(\w+)>([\s\S]*?)</\1>",
+                      re.sub(r"</?opencv_storage>", "", text))
+        if not m:
+            return []
+        body = m.group(2)
+        # strip any nested tags (e.g. per-item <_> wrappers), keep text
+        body = re.sub(r"<[^>]+>", " ", body)
+        return [t.strip('"') for t in body.split()]
+    # YML: first top-level "name:" node followed by "- item" lines or [ ... ]
+    m = re.search(r"^\w+:\s*(\[[^\]]*\])", text, re.MULTILINE)
+    if m:
+        return [t.strip().strip('"') for t in m.group(1)[1:-1].split(",")
+                if t.strip()]
+    items = re.findall(r"^\s*-\s*(?!-)(\S+)\s*$", text, re.MULTILINE)
+    return [t.strip('"') for t in items]
+
+
 def _fmt(v: float) -> str:
     if v == int(v) and abs(v) < 1e16:
         return f"{int(v)}." if isinstance(v, float) else str(int(v))

@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
                        help="directory of captured chessboard pairs for RECALIBRATE")
     s_vid.add_argument("--pattern", default="9x6",
                        help="chessboard inner-corner pattern (reference: 9x6)")
+    s_vid.add_argument("--imagelist", default=None,
+                       help="cv::FileStorage imagelist (XML/YML) of interleaved "
+                            "L/R chessboard filenames, resolved relative to the "
+                            "list file (reference: data/stereo_calib.xml, "
+                            "readStringList src/StereoCalib.cpp:349)")
     return p
 
 
@@ -143,23 +148,37 @@ def main(argv: list[str] | None = None) -> int:
     if args.RECALIBRATE:
         # the reference's calibrateCamera() flow (src/StereoCalib.cpp:364,49),
         # headless: detect corners in saved pairs, solve, write YMLs
-        if not args.chessboard_dir:
-            print("--RECALIBRATE needs --chessboard-dir", file=sys.stderr)
+        if not args.chessboard_dir and not args.imagelist:
+            print("--RECALIBRATE needs --chessboard-dir or --imagelist",
+                  file=sys.stderr)
             return 1
         import pathlib
 
         from primestereomatch_tpu.calib import calibrate_stereo_from_images
         from primestereomatch_tpu.utils.datasets import _imread_color
 
-        d = pathlib.Path(args.chessboard_dir)
-        lefts = sorted(d.glob("*_left.*"))
-        pairs = [
-            (lp, lp.with_name(lp.name.replace("_left", "_right")))
-            for lp in lefts
-        ]
-        pairs = [(l, r) for l, r in pairs if r.exists()]
+        if args.imagelist:
+            # reference flow: interleaved L,R,L,R filename list
+            # (src/StereoCalib.cpp:67-72 consumes goodImageList pairwise)
+            from primestereomatch_tpu.calib.ymlio import read_imagelist
+
+            lst = pathlib.Path(args.imagelist)
+            names = read_imagelist(str(lst))
+            if len(names) < 2:
+                print(f"no image names in {lst}", file=sys.stderr)
+                return 1
+            paths = [lst.parent / n for n in names]
+            pairs = list(zip(paths[0::2], paths[1::2]))
+        else:
+            d = pathlib.Path(args.chessboard_dir)
+            lefts = sorted(d.glob("*_left.*"))
+            pairs = [
+                (lp, lp.with_name(lp.name.replace("_left", "_right")))
+                for lp in lefts
+            ]
+            pairs = [(l, r) for l, r in pairs if r.exists()]
         if not pairs:
-            print(f"no *_left/*_right pairs in {d}", file=sys.stderr)
+            print("no chessboard pairs found", file=sys.stderr)
             return 1
         l_imgs = [_imread_color(str(l)) for l, _ in pairs]
         r_imgs = [_imread_color(str(r)) for _, r in pairs]

@@ -179,8 +179,23 @@ def _fgf_low_maps_pallas_impl(
     # lanes wide (no lane-dim concat, which Mosaic rejects)
     WI = WP + 2 * M
     TI = TH + 2 * M
+    WT = out_margin + WP
+    # VMEM plan: per-block working set is the double-buffered p/stat/out
+    # blocks plus ~10 DC-sized intermediates of the box/solve chain (mp,
+    # mIp x3, cov x3, a_* and their box slices). The lane dim is padded to
+    # 128 in VMEM. Shrink DC until the estimate fits ~12 MB of the ~16 MB
+    # core VMEM (at 2K/d=256 the poly-layout WT=1024 lanes overflow DC=4).
+    lane = lambda x: _round_up(x, 128)  # noqa: E731
     DC = min(4, D)
     while D % DC:
+        DC //= 2
+    while DC > 1:
+        use = 4 * (
+            2 * DC * TI * lane(WI) + 2 * 12 * TI * lane(WI)
+            + 2 * 4 * DC * TH * lane(WT) + 10 * DC * TI * lane(WI)
+        )
+        if use <= (12 << 20):
+            break
         DC //= 2
     n_dc = D // DC
 

@@ -171,3 +171,29 @@ def test_reproject_disparity_geometry(calib):
     # invalid disparity -> zeros
     z = np.asarray(reproject_disparity(jnp.zeros((4, 4), jnp.float32), Q))
     np.testing.assert_array_equal(z, 0.0)
+
+
+def test_read_imagelist_xml_and_yml(tmp_path):
+    # XML storage form — the reference's data/stereo_calib.xml layout
+    # (consumed by readStringList, src/StereoCalib.cpp:349-361)
+    from primestereomatch_tpu.calib.ymlio import read_imagelist
+
+    xml = tmp_path / "stereo_calib.xml"
+    xml.write_text(
+        '<?xml version="1.0"?>\n<opencv_storage>\n<images>\n'
+        "  chessboard0L.png chessboard0R.png\n"
+        "  chessboard1L.png chessboard1R.png</images>\n</opencv_storage>\n"
+    )
+    names = read_imagelist(str(xml))
+    assert names == [
+        "chessboard0L.png", "chessboard0R.png",
+        "chessboard1L.png", "chessboard1R.png",
+    ]
+
+    yml = tmp_path / "list.yml"
+    yml.write_text('%YAML:1.0\n---\nimages:\n  - "a_L.png"\n  - "a_R.png"\n')
+    assert read_imagelist(str(yml)) == ["a_L.png", "a_R.png"]
+
+    flow = tmp_path / "flow.yml"
+    flow.write_text('%YAML:1.0\n---\nimages: [ "b_L.png", "b_R.png" ]\n')
+    assert read_imagelist(str(flow)) == ["b_L.png", "b_R.png"]
