@@ -317,6 +317,7 @@ def fgf_wta_pallas_maps(
     out_hw: tuple[int, int],
     d_chunk: int = 32,
     poly: bool = False,        # polyphase column layout (see poly_col_params)
+    tile_h: int | None = None,  # poly output rows per tile (None = default)
     interpret: bool = False,
 ) -> jax.Array:
     """WTA from a pre-stacked, pre-padded maps tensor (the layout
@@ -326,7 +327,7 @@ def fgf_wta_pallas_maps(
     out_wp lanes; pass lowmaps out_wp/out_margin from poly_col_params)."""
     return _fgf_wta_pallas_impl(
         guide, maps, out_hw=out_hw, d_chunk=d_chunk, interpret=interpret,
-        logical_hw=logical_hw, poly=poly,
+        logical_hw=logical_hw, poly=poly, tile_h=tile_h,
     )
 
 
@@ -351,11 +352,11 @@ def _poly_plan_dc(D: int, dc_req: int, RS: int, CS: int, TH: int,
     return 1
 
 
-def _wta_poly_run(guide, maps, h, w, out_hw, DC, pp, interpret):
+def _wta_poly_run(guide, maps, h, w, out_hw, DC, pp, interpret, tile_h=None):
     H, W = out_hw
     P, TWQ, ntxq = pp["P"], pp["TWQ"], pp["ntxq"]
     margin, deltas, ncl = pp["margin"], pp["deltas"], pp["ncl"]
-    TH = POLY_TILE_H
+    TH = tile_h or POLY_TILE_H
     D = maps.shape[1]
     hp = _round_up(H, TH)
     nty = hp // TH
@@ -465,6 +466,7 @@ def _wta_poly_run(guide, maps, h, w, out_hw, DC, pp, interpret):
 def _fgf_wta_pallas_impl(
     guide, mean_a_r, mean_a_g=None, mean_a_b=None, mean_b=None,
     out_hw=None, d_chunk=32, interpret=False, logical_hw=None, poly=False,
+    tile_h=None,
 ) -> jax.Array:
     if mean_b is not None:
         maps = jnp.stack([mean_a_r, mean_a_g, mean_a_b, mean_b], axis=0)
@@ -481,7 +483,8 @@ def _fgf_wta_pallas_impl(
         pp = poly_col_params(w, W)
         if pp is None:
             raise ValueError(f"polyphase WTA does not apply to {w}->{W}")
-        return _wta_poly_run(guide, maps, h, w, out_hw, DC, pp, interpret)
+        return _wta_poly_run(guide, maps, h, w, out_hw, DC, pp, interpret,
+                             tile_h=tile_h)
     hp = _round_up(H, TILE_H)
     wp = _round_up(W, TILE_W)
     nty, ntx = hp // TILE_H, wp // TILE_W

@@ -204,9 +204,12 @@ def make_sharded_gif(
 
     Returns fn(l_imgs, r_imgs) -> (l_disp, r_disp) where the images are
     (B, H, W, 3) float32 in [0,1] (BGR) and outputs are (B, H, W) uint8.
-    Constraints: B % b_shards == 0, H % (s * y_shards) == 0, W % s == 0,
-    max_dis % d_shards == 0, and H // y_shards > s*(2*(k//2)+2) with
-    k = 2*(r//s)+1 (single-hop halo).
+    Constraints: B % b_shards == 0 and max_dis % d_shards == 0 always.
+    When the mesh tiles rows or disparity (y_shards > 1 or d_shards > 1):
+    H % (s * y_shards) == 0, W % s == 0, and H // y_shards >
+    s*(2*(k//2)+2) with k = 2*(r//s)+1 (single-hop halo). A batch-only
+    mesh runs the single-chip pipeline per shard and accepts any H/W it
+    accepts.
     """
     bn = mesh.shape[AXIS_BATCH]
     yn = mesh.shape[AXIS_ROWS]
@@ -358,14 +361,24 @@ def make_sharded_gif(
         check_vma=False,
     )
 
+    batch_only = yn == 1 and dn == 1
+
     @jax.jit
     def step(l_imgs: jax.Array, r_imgs: jax.Array):
         B, Hh, Ww, _ = l_imgs.shape
         s = cfg.subsample
-        if B % bn or Hh % (yn * s) or Ww % s:
+        if B % bn:
+            raise ValueError(f"batch {B} not divisible by b shards {bn}")
+        if batch_only:
+            # single-chip fast path per shard: arbitrary H/W, same as
+            # stereo_gif_forward (nearest_indices handles H % s != 0)
+            return mapped(l_imgs, r_imgs)
+        if Hh % (yn * s) or Ww % s:
             raise ValueError(
                 f"shape ({B},{Hh},{Ww}) incompatible with mesh "
-                f"(b={bn}, y={yn}) and subsample {s}"
+                f"(b={bn}, y={yn}) and subsample {s}; pad rows to a "
+                f"multiple of {yn * s} (and W to a multiple of {s}) or "
+                f"use a batch-only mesh"
             )
         if Hh // yn < max(halo + s, r_wmf + 1):
             raise ValueError(

@@ -128,10 +128,10 @@ def main():
         from primestereomatch_tpu.parallel import MeshPlan, make_mesh, make_sharded_gif
 
         mesh = make_mesh(MeshPlan(1, 1, 1), jax.devices()[:1])
-        # Teddy's 375 rows are not a multiple of s=4: crop to 372x448 for
-        # the sharded step's alignment contract (H % (s*yn), W % s)
+        # batch-only mesh accepts any H/W: full frames, directly
+        # comparable to the unsharded rows above
         for name, (lx, rx), c, it in (
-            ("gif_teddy372_sharded_mesh111", (l64[:372, :448], r64[:372, :448]), cfg, 10),
+            ("gif_teddy_sharded_mesh111", (l64, r64), cfg, 10),
             ("gif_2k_sharded_mesh111", (l2k, r2k), cfg256, 3),
         ):
             step = make_sharded_gif(mesh, c)

@@ -62,6 +62,27 @@ def test_sharded_matches_single_device(rng, plan):
         np.testing.assert_array_equal(np.asarray(out_r[i]), ref_r)
 
 
+@pytest.mark.parametrize("plan", [MeshPlan(1, 1, 1), MeshPlan(4, 1, 1)])
+def test_sharded_batch_only_unaligned_shape(rng, plan):
+    """Batch-only meshes run the single-chip pipeline per shard, so they
+    must accept shapes the row/disparity-tiled meshes reject (H=125 is not
+    a multiple of s=4) and still match stereo_gif_forward exactly."""
+    if plan.n_devices > len(jax.devices()):
+        pytest.skip("needs 8 virtual devices")
+    h, w = 125, 96
+    l, r = _rand_pair(rng, h, w)
+    ref_l, ref_r = _reference(l, r, CFG)
+    mesh = make_mesh(plan, jax.devices()[: plan.n_devices])
+    step = make_sharded_gif(mesh, CFG)
+    B = plan.batch
+    lb = jnp.broadcast_to(jnp.asarray(l), (B, h, w, 3))
+    rb = jnp.broadcast_to(jnp.asarray(r), (B, h, w, 3))
+    out_l, out_r = step(lb, rb)
+    for i in range(B):
+        np.testing.assert_array_equal(np.asarray(out_l[i]), ref_l)
+        np.testing.assert_array_equal(np.asarray(out_r[i]), ref_r)
+
+
 def test_sharded_no_postprocess(rng):
     plan = MeshPlan(1, 2, 2)
     h, w = 64, 64
