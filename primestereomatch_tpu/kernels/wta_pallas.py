@@ -171,19 +171,37 @@ def _wta_kernel(
 # first P//2 output columns, which are recomputed exactly in XLA.
 
 POLY_MARGIN = 128
-POLY_TILE_H = 16   # output rows per tile (tuned on hardware)
-POLY_TWQ = 256     # output phase-columns per tile (multiple of 128)
+POLY_TILE_H = 32   # output rows per tile (tuned on v5e: 42.5 ms vs 44.7 at
+                   # tile_h=16 for 2K/d=256; see sweep in the docstring)
+POLY_TWQ_MAX = 768  # auto-tuned phase-column tile width search bound
 
 
-def poly_col_params(w: int, W: int) -> dict | None:
+def poly_col_params(w: int, W: int, twq: int | None = None) -> dict | None:
     """Polyphase layout for logical low width w -> output width W, or None
-    when the polyphase column path does not apply."""
+    when the polyphase column path does not apply. `twq` overrides the
+    phase-column tile width (multiple of 128); larger tiles amortize the
+    2*POLY_MARGIN slab-lane overhead per tile at the cost of VMEM."""
     if W % w or W // w <= 1:
         return None
     P = W // w
     if P > 8:
         return None
-    twq = min(POLY_TWQ, _round_up(w, 128))
+    if twq is not None:
+        if twq % 128:
+            raise ValueError(f"twq {twq} must be a multiple of 128")
+        twq = min(twq, _round_up(w, 128))
+    else:
+        # every tile DMAs CS = twq + 2*POLY_MARGIN slab lanes for twq
+        # useful phase columns, so pick the width minimizing total slab
+        # lanes ntxq*CS (then padded phase columns ntxq*twq). At 2K
+        # (w=552) this selects 640 (one tile, CS=896) over the old fixed
+        # 256 (three tiles, 3*512 lanes): measured 42.5 -> 29.4 ms/view
+        twq = min(
+            range(128, POLY_TWQ_MAX + 1, 128),
+            key=lambda t: (-(-w // t) * (t + 2 * POLY_MARGIN),
+                           -(-w // t) * t),
+        )
+        twq = min(twq, _round_up(w, 128))
     ntxq = -(-w // twq)
     # maps width: margin + data, with every slab window in-bounds
     wp = ntxq * twq + POLY_MARGIN
@@ -201,7 +219,7 @@ def _wta_kernel_poly(
     maps_hbm, guide_blk, ryw_blk, wx_blk, out_ref,
     slab, sem,
     *, D: int, DC: int, RS: int, CS: int, P: int, TWQ: int, TH: int,
-    deltas: tuple,
+    deltas: tuple, mm_precision=jax.lax.Precision.HIGHEST,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -241,8 +259,12 @@ def _wta_kernel_poly(
             w_row, cur,
             dimension_numbers=(((1,), (2,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,   # exact-f32 taps (see above)
+            precision=mm_precision,                # exact-f32 taps (see above)
         )                                        # (TH, 4, DC, CS)
+        # NOTE: the transpose-free variant (keep (TH, 4, DC, CS) and slice
+        # the map axis) measured SLOWER on v5e (54-62 ms vs 42 ms/view at
+        # 2K): the phase loop then runs on (DC, TWQ)-tiled minor dims and
+        # Mosaic schedules it worse than the (TH, CS)-minor layout below
         rowed = jnp.transpose(rowed, (1, 2, 0, 3))  # (4, DC, TH, CS)
         M = POLY_MARGIN
         # the three source-lane windows every phase lerp draws from
@@ -318,16 +340,20 @@ def fgf_wta_pallas_maps(
     d_chunk: int = 32,
     poly: bool = False,        # polyphase column layout (see poly_col_params)
     tile_h: int | None = None,  # poly output rows per tile (None = default)
+    poly_twq: int | None = None,  # poly phase-column tile width override
+    mm_precision: str = "highest",  # row-interp matmul precision (poly path)
     interpret: bool = False,
 ) -> jax.Array:
     """WTA from a pre-stacked, pre-padded maps tensor (the layout
     kernels/lowmaps_pallas.py emits) — skips the (4, D, h, w) stack+pad
     copy of the tuple entry point (~700 MB per view at 2K/d=256).
     With poly=True the maps must be in the polyphase layout (left margin +
-    out_wp lanes; pass lowmaps out_wp/out_margin from poly_col_params)."""
+    out_wp lanes; pass lowmaps out_wp/out_margin from poly_col_params
+    called with the SAME poly_twq)."""
     return _fgf_wta_pallas_impl(
         guide, maps, out_hw=out_hw, d_chunk=d_chunk, interpret=interpret,
-        logical_hw=logical_hw, poly=poly, tile_h=tile_h,
+        logical_hw=logical_hw, poly=poly, tile_h=tile_h, poly_twq=poly_twq,
+        mm_precision=mm_precision,
     )
 
 
@@ -352,7 +378,8 @@ def _poly_plan_dc(D: int, dc_req: int, RS: int, CS: int, TH: int,
     return 1
 
 
-def _wta_poly_run(guide, maps, h, w, out_hw, DC, pp, interpret, tile_h=None):
+def _wta_poly_run(guide, maps, h, w, out_hw, DC, pp, interpret, tile_h=None,
+                  mm_precision="highest"):
     H, W = out_hw
     P, TWQ, ntxq = pp["P"], pp["TWQ"], pp["ntxq"]
     margin, deltas, ncl = pp["margin"], pp["deltas"], pp["ncl"]
@@ -415,6 +442,9 @@ def _wta_poly_run(guide, maps, h, w, out_hw, DC, pp, interpret, tile_h=None):
     kernel = functools.partial(
         _wta_kernel_poly, D=D, DC=DC, RS=RS, CS=CS, P=P, TWQ=TWQ, TH=TH,
         deltas=deltas,
+        # Mosaic supports only HIGHEST (6-pass f32) and DEFAULT (bf16) dots
+        mm_precision={"highest": jax.lax.Precision.HIGHEST,
+                      "default": jax.lax.Precision.DEFAULT}[mm_precision],
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -466,7 +496,7 @@ def _wta_poly_run(guide, maps, h, w, out_hw, DC, pp, interpret, tile_h=None):
 def _fgf_wta_pallas_impl(
     guide, mean_a_r, mean_a_g=None, mean_a_b=None, mean_b=None,
     out_hw=None, d_chunk=32, interpret=False, logical_hw=None, poly=False,
-    tile_h=None,
+    tile_h=None, poly_twq=None, mm_precision="highest",
 ) -> jax.Array:
     if mean_b is not None:
         maps = jnp.stack([mean_a_r, mean_a_g, mean_a_b, mean_b], axis=0)
@@ -480,11 +510,11 @@ def _fgf_wta_pallas_impl(
     if D % DC:
         raise ValueError(f"D={D} not divisible by chunk {DC}")
     if poly:
-        pp = poly_col_params(w, W)
+        pp = poly_col_params(w, W, twq=poly_twq)
         if pp is None:
             raise ValueError(f"polyphase WTA does not apply to {w}->{W}")
         return _wta_poly_run(guide, maps, h, w, out_hw, DC, pp, interpret,
-                             tile_h=tile_h)
+                             tile_h=tile_h, mm_precision=mm_precision)
     hp = _round_up(H, TILE_H)
     wp = _round_up(W, TILE_W)
     nty, ntx = hp // TILE_H, wp // TILE_W

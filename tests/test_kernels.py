@@ -167,6 +167,18 @@ def test_wta_poly_matches_matmul_kernel(rng, H, W, D, s):
         interpret=True,
     ))
     np.testing.assert_array_equal(got2, ref)
+    # tunable tile geometry (tile_h / poly_twq) must not change results
+    for th, twq in ((32, None), (None, 128), (64, 128)):
+        pv = poly_col_params(w, W, twq=twq)
+        maps_v = fgf_low_maps_pallas(
+            g, p, 8, 1e-4, s, out_wp=pv["out_wp"], out_margin=pv["margin"],
+            interpret=True,
+        )
+        got_v = np.asarray(fgf_wta_pallas_maps(
+            g, maps_v, (h, w), (H, W), d_chunk=min(8, D), poly=True,
+            tile_h=th, poly_twq=twq, interpret=True,
+        ))
+        np.testing.assert_array_equal(got_v, ref)
 
 
 def test_lowmaps_pallas_vmap(rng):
