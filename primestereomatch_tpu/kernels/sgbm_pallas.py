@@ -158,7 +158,15 @@ def _sgbm_scan_kernel(
 
 def _plan_bytes(R, Dp, Np, n_in, n_out, in_size, out_size, n_lanes, carry_size):
     blocks = 2 * R * Dp * Np * (n_in * in_size + n_out * out_size)
-    return blocks + n_lanes * Dp * Np * carry_size
+    # ~8 int32 (Dp, Np) planes stay live through the lane loop (Lp and its
+    # two d+-1 rolls, minLp, best, L, the widened cost block row, plus the
+    # s16->s32 cast copies Mosaic materializes) — without this term the
+    # HD720/d=128 merged launch planned R=2 and Mosaic's actual stack hit
+    # 16.38M > 16M. Calibrated so that plan: the R=2 model (9.8M with a
+    # 4-plane term) must exceed the 12M budget while 2K keeps its working
+    # split R=1 fallback
+    temps = 8 * Dp * Np * 4
+    return blocks + n_lanes * Dp * Np * carry_size + temps
 
 
 def sgbm_scan_pallas(
