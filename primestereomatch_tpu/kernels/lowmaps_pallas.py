@@ -150,16 +150,46 @@ def fgf_low_maps_pallas(
         def bcast(x, batched):
             return x if batched else jnp.broadcast_to(x, (axis_size, *x.shape))
 
-        args = [bcast(x, bb) for x, bb in zip((g, p), in_batched)]
-        out = jax.lax.map(
-            lambda xs: _fgf_low_maps_pallas_impl(
-                *xs, radius, eps, subsample, out_wp, out_margin, interpret
-            ),
-            tuple(args),
+        g, p = (bcast(x, bb) for x, bb in zip((g, p), in_batched))
+        # one folded pallas_call (frames on the tile grid axis), then split
+        # the stacked rows back into the per-frame (4, D, HP, WT) layout
+        out = _fgf_low_maps_pallas_impl(
+            g, p, radius, eps, subsample, out_wp, out_margin, interpret
         )
-        return out, True
+        n4, D, BHP, WT = out.shape
+        out = out.reshape(n4, D, axis_size, BHP // axis_size, WT)
+        return jnp.moveaxis(out, 2, 0), True
 
     return run(guide, p_low)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "radius", "eps", "subsample", "out_wp", "out_margin", "interpret"
+    ),
+)
+def fgf_low_maps_pallas_batched(
+    guide: jax.Array,          # (B, H, W, 3) float32 full-res guides
+    p_low: jax.Array,          # (B, D, h, w) subsampled cost volumes
+    radius: int = 8,
+    eps: float = 1e-4,
+    subsample: int = 4,
+    out_wp: int | None = None,
+    out_margin: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Batch-folded fgf_low_maps_pallas: ONE pallas_call for the whole
+    batch. Frames fold into the row-tile grid axis (tiles of frame b are
+    grid rows b*n_tiles..(b+1)*n_tiles-1), so the kernel and block specs
+    are identical to the single-frame launch. Returns (4, D, B*HP, WT) —
+    frame b's maps live at rows [b*HP, (b+1)*HP), the exact layout
+    fgf_wta_pallas_maps_batched consumes (row starts carry the b*HP
+    offset). Replaces the lax.map-over-frames dispatch whose per-frame
+    kernel launches dominate small-image batch throughput (CLAUDE.md)."""
+    return _fgf_low_maps_pallas_impl(
+        guide, p_low, radius, eps, subsample, out_wp, out_margin, interpret
+    )
 
 
 def _fgf_low_maps_pallas_impl(
@@ -167,7 +197,12 @@ def _fgf_low_maps_pallas_impl(
 ) -> jax.Array:
     from primestereomatch_tpu.ops.resize import resize_nearest
 
-    D, h, w = p_low.shape
+    batched = p_low.ndim == 4
+    B = p_low.shape[0] if batched else 1
+    if not batched:
+        guide = guide[None]
+        p_low = p_low[None]
+    D, h, w = p_low.shape[1:]
     k = 2 * (radius // subsample) + 1
     M = 2 * (k // 2)
     n_tiles = -(-h // TH)
@@ -202,7 +237,7 @@ def _fgf_low_maps_pallas_impl(
     # ---- low-res guide statistics in XLA (small: 12 (h, w) planes) --------
     ch_low = tuple(resize_nearest(guide[..., c], (h, w)) for c in range(3))
     means, inv = _color_inverse_cov(ch_low, k, eps)
-    stats = jnp.stack([*ch_low, *means, *inv], axis=0)     # (12, h, w)
+    stats = jnp.stack([*ch_low, *means, *inv], axis=1)     # (B, 12, h, w)
 
     # ---- pad: reflect-101 margins (box semantics), then zero/edge fill ----
     def pad_hw(x, extra_rows, extra_cols, mode_extra):
@@ -225,26 +260,27 @@ def _fgf_low_maps_pallas_impl(
     stats_pad = pad_hw(stats, extra_r, extra_c, "edge")  # keep inv/det finite
 
     # ---- overlapping row tiles (static concat; fused with the producer) ---
+    # frames fold into the tile axis: tile (b, i) -> grid row b*n_tiles + i
     p_tiles = jnp.stack(
-        [jax.lax.slice_in_dim(p_pad, i * TH, i * TH + TI, axis=1)
-         for i in range(n_tiles)]
-    )                                               # (n_tiles, D, TI, WI)
+        [jax.lax.slice_in_dim(p_pad, i * TH, i * TH + TI, axis=-2)
+         for i in range(n_tiles)], axis=1,
+    ).reshape(B * n_tiles, D, TI, p_pad.shape[-1])  # (B*n_tiles, D, TI, WI)
     s_tiles = jnp.stack(
-        [jax.lax.slice_in_dim(stats_pad, i * TH, i * TH + TI, axis=1)
-         for i in range(n_tiles)]
-    )                                               # (n_tiles, 12, TI, WI)
+        [jax.lax.slice_in_dim(stats_pad, i * TH, i * TH + TI, axis=-2)
+         for i in range(n_tiles)], axis=1,
+    ).reshape(B * n_tiles, 12, TI, stats_pad.shape[-1])
 
     kernel = functools.partial(_lowmaps_kernel, k=k, DC=DC, margin=out_margin)
     WT = out_margin + WP
     out = pl.pallas_call(
         kernel,
-        grid=(n_tiles, n_dc),
+        grid=(B * n_tiles, n_dc),
         in_specs=[
             pl.BlockSpec((1, DC, TI, WI), lambda i, c: (i, c, 0, 0)),
             pl.BlockSpec((1, 12, TI, WI), lambda i, c: (i, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((4, DC, TH, WT), lambda i, c: (0, c, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((4, D, HP, WT), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4, D, B * HP, WT), jnp.float32),
         interpret=interpret,
     )(p_tiles, s_tiles)
     return out

@@ -357,6 +357,117 @@ def fgf_wta_pallas_maps(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("logical_hw", "out_hw", "d_chunk", "interpret")
+)
+def fgf_wta_pallas_maps_batched(
+    guide: jax.Array,          # (B, H, W, 3) float32
+    maps: jax.Array,           # (4, D, B*HPf, WPm) folded maps — the layout
+                               # fgf_low_maps_pallas_batched emits
+    logical_hw: tuple[int, int],
+    out_hw: tuple[int, int],
+    d_chunk: int = 32,
+    interpret: bool = False,
+) -> jax.Array:
+    """Batch-folded generic-kernel WTA: ONE pallas_call for the whole
+    batch. Frame b's row tiles are grid rows b*nty..(b+1)*nty-1 and its
+    slab row starts carry the b*HPf offset, so the kernel and block specs
+    are identical to the single-frame launch (generic column-matmul
+    variant; the polyphase layout keeps per-frame dispatch). Returns
+    (B, H, W) uint8 disparities."""
+    B, H, W = guide.shape[0], *out_hw
+    h, w = logical_hw
+    D = maps.shape[1]
+    DC = min(d_chunk, D)
+    if D % DC:
+        raise ValueError(f"D={D} not divisible by chunk {DC}")
+    if maps.shape[2] % B:
+        raise ValueError("maps rows not divisible by batch")
+    HPf = maps.shape[2] // B
+    WPm = maps.shape[3]
+
+    hp = _round_up(H, TILE_H)
+    wp = _round_up(W, TILE_W)
+    nty, ntx = hp // TILE_H, wp // TILE_W
+
+    sy, fy = linear_coeffs(h, H)
+    sx, fx = linear_coeffs(w, W)
+    sy = np.concatenate([sy, np.full(hp - H, sy[-1])])
+    fy = np.concatenate([fy, np.full(hp - H, fy[-1], np.float32)])
+    sx = np.concatenate([sx, np.full(wp - W, sx[-1])])
+    fx = np.concatenate([fx, np.full(wp - W, fx[-1], np.float32)])
+
+    span_r = int((sy[np.minimum(np.arange(nty) * TILE_H + TILE_H - 1, hp - 1)]
+                  - (sy[np.arange(nty) * TILE_H] // 8) * 8).max()) + 2
+    RS = _round_up(8 + span_r, 8)
+    row_start = ((sy[np.arange(nty) * TILE_H] // 8) * 8).astype(np.int32)
+    col_base = (sx[np.arange(ntx) * TILE_W] // 128) * 128
+    span_c = int((sx[np.minimum(np.arange(ntx) * TILE_W + TILE_W - 1, wp - 1)]
+                  - col_base).max()) + 2
+    CS = _round_up(span_c, 128)
+    col_start = col_base.astype(np.int32)
+
+    if not (HPf >= h and RS <= HPf and CS <= WPm):
+        raise ValueError(
+            f"maps frame layout ({HPf}, {WPm}) too small for the aligned "
+            f"slab windows (RS={RS}, CS={CS}) — feed the pre-padded "
+            "fgf_low_maps_pallas_batched output"
+        )
+    # clamp per-frame, then offset to frame b's row block: windows never
+    # cross frames, and clamped reads stay weight-0-exact (see the
+    # single-frame path's proof)
+    row_start = np.minimum(row_start, HPf - RS).astype(np.int32)
+    col_start = np.minimum(col_start, WPm - CS).astype(np.int32)
+    ry_rel = (sy - np.repeat(row_start, TILE_H)).astype(np.float32)
+    cx_rel = (sx - np.repeat(col_start, TILE_W)).astype(np.float32)
+    row_start_b = (
+        np.tile(row_start, B)
+        + np.repeat(np.arange(B, dtype=np.int32) * HPf, nty)
+    ).astype(np.int32)
+
+    guide_p = jnp.moveaxis(guide, -1, 1)                    # (B, 3, H, W)
+    guide_p = jnp.pad(guide_p, ((0, 0), (0, 0), (0, hp - H), (0, wp - W)))
+    guide_p = jnp.transpose(guide_p, (1, 0, 2, 3)).reshape(3, B * hp, wp)
+
+    ryw = np.zeros((nty, TILE_H, TILE_W), np.float32)
+    ryw[:, :, 0] = ry_rel.reshape(nty, TILE_H)
+    ryw[:, :, 1] = fy.reshape(nty, TILE_H)
+    ryw = np.tile(ryw, (B, 1, 1))
+    CW = max(CS, TILE_W)
+    cxw = np.zeros((ntx, 16, CW), np.float32)
+    cxw[:, 0, :TILE_W] = cx_rel.reshape(ntx, TILE_W)
+    cxw[:, 1, :TILE_W] = fx.reshape(ntx, TILE_W)
+
+    kernel = functools.partial(
+        _wta_kernel, n_maps=4, D=D, DC=DC, RS=RS, CS=CS,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B * nty, ntx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                       # maps
+            pl.BlockSpec((3, TILE_H, TILE_W), lambda i, j, *_: (0, i, j)),
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 16, CW), lambda i, j, *_: (j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, DC, RS, CS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * hp, wp), jnp.int32),
+        interpret=interpret,
+    )(
+        jnp.asarray(row_start_b), jnp.asarray(col_start),
+        maps, guide_p, jnp.asarray(ryw), jnp.asarray(cxw),
+    )
+    return out.reshape(B, hp, wp)[:, :H, :W].astype(jnp.uint8)
+
+
 def _poly_plan_dc(D: int, dc_req: int, RS: int, CS: int, TH: int,
                   TWQ: int, P: int, budget: int = 12 << 20) -> int:
     """Largest disparity chunk (divisor of D, <= dc_req) whose VMEM

@@ -248,22 +248,53 @@ def stereo_gif_forward_batch(
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     if impl == "pallas":
-        from primestereomatch_tpu.kernels.lowmaps_pallas import fgf_low_maps_pallas
+        from primestereomatch_tpu.kernels.lowmaps_pallas import (
+            fgf_low_maps_pallas,
+            fgf_low_maps_pallas_batched,
+        )
         from primestereomatch_tpu.kernels.wta_pallas import (
             fgf_wta_pallas_maps,
+            fgf_wta_pallas_maps_batched,
             poly_col_params,
         )
 
         dc = min(32, cfg.max_dis)
         pp = poly_col_params(w, W)
+        if pp is None:
+            # generic-kernel shapes: ONE folded pallas_call per stage for
+            # the whole batch (frames on the row-tile grid axis) — per-
+            # frame kernel dispatch is what caps small-image batch fps
+            maps_l = fgf_low_maps_pallas_batched(
+                l_imgs, lcv, radius=cfg.gif_radius, eps=cfg.gif_eps,
+                subsample=s,
+            )
+            maps_r = fgf_low_maps_pallas_batched(
+                r_imgs, rcv, radius=cfg.gif_radius, eps=cfg.gif_eps,
+                subsample=s,
+            )
+            l_disp = fgf_wta_pallas_maps_batched(
+                l_imgs, maps_l, (h, w), (H, W), d_chunk=dc,
+            )
+            r_disp = fgf_wta_pallas_maps_batched(
+                r_imgs, maps_r, (h, w), (H, W), d_chunk=dc,
+            )
+            if run_postprocess:
+                # joint_wmf_pallas's custom_vmap lowers to one batched call
+                l_disp = jax.vmap(lambda d, i: _wmf_exact(d, i, cfg))(
+                    l_disp, l_imgs
+                )
+                r_disp = jax.vmap(lambda d, i: _wmf_exact(d, i, cfg))(
+                    r_disp, r_imgs
+                )
+            return l_disp, r_disp
+
         lowm = functools.partial(
             fgf_low_maps_pallas, radius=cfg.gif_radius, eps=cfg.gif_eps,
             subsample=s,
-            out_wp=pp["out_wp"] if pp else None,
-            out_margin=pp["margin"] if pp else 0,
+            out_wp=pp["out_wp"], out_margin=pp["margin"],
         )
         wtp = functools.partial(
-            fgf_wta_pallas_maps, d_chunk=dc, poly=pp is not None,
+            fgf_wta_pallas_maps, d_chunk=dc, poly=True,
         )
 
         def frame(args):

@@ -195,6 +195,42 @@ def test_lowmaps_pallas_vmap(rng):
         np.testing.assert_array_equal(batched[i], single)
 
 
+def test_batched_fold_matches_per_frame(rng):
+    """Folded-batch lowmaps + generic WTA (ONE pallas_call each, frames on
+    the row-tile grid axis) must be bitwise-equal to per-frame dispatch."""
+    from primestereomatch_tpu.kernels.lowmaps_pallas import (
+        fgf_low_maps_pallas,
+        fgf_low_maps_pallas_batched,
+    )
+    from primestereomatch_tpu.kernels.wta_pallas import (
+        fgf_wta_pallas_maps,
+        fgf_wta_pallas_maps_batched,
+        poly_col_params,
+    )
+
+    B, H, W, D, s = 3, 60, 90, 8, 4
+    h, w = H // s, W // s
+    assert poly_col_params(w, W) is None  # generic-kernel shape
+    g = jnp.asarray(rng.random((B, H, W, 3)).astype(np.float32))
+    p = jnp.asarray(rng.random((B, D, h, w)).astype(np.float32))
+
+    maps_b = fgf_low_maps_pallas_batched(g, p, 8, 1e-4, s, interpret=True)
+    disp_b = np.asarray(fgf_wta_pallas_maps_batched(
+        g, maps_b, (h, w), (H, W), d_chunk=4, interpret=True
+    ))
+    HPf = maps_b.shape[2] // B
+    for i in range(B):
+        maps_i = fgf_low_maps_pallas(g[i], p[i], 8, 1e-4, s, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(maps_b[:, :, i * HPf:(i + 1) * HPf]),
+            np.asarray(maps_i),
+        )
+        disp_i = np.asarray(fgf_wta_pallas_maps(
+            g[i], maps_i, (h, w), (H, W), d_chunk=4, interpret=True
+        ))
+        np.testing.assert_array_equal(disp_b[i], disp_i)
+
+
 @pytest.mark.parametrize(
     "H,W,D,nd,bound",
     [(40, 56, 16, 8, 9450), (33, 45, 16, 5, 9450), (24, 64, 32, 3, 9450),
