@@ -54,11 +54,35 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pick_tile_w(W: int) -> int:
+    """Output-column tile for the generic kernel: smallest padded width
+    wins (a fixed 384 padded Teddy's 450 columns to 768 — 70% waste
+    columns), ties prefer the wider tile (longer matmul N runs)."""
+    return min((512, 384, 256, 128), key=lambda t: (_round_up(W, t), -t))
+
+
+def _gen_plan_dc(D: int, dc_req: int, RS: int, CS: int, TW: int,
+                 budget: int = 12 << 20) -> int:
+    """Largest disparity chunk (divisor of D, <= dc_req) whose VMEM
+    footprint fits: double-buffered slab (2,4,DC,RS,CS), the row-interp
+    result + its transpose (2 x 16*4*DC*CS), and q4/q (~5 x 4*DC*16*TW/4)
+    f32, plus ~1 MB of fixed blocks."""
+    fixed = 1 << 20
+    for dc in range(min(dc_req, D), 0, -1):
+        if D % dc:
+            continue
+        use = (8 * RS * CS + 192 * CS + 100 * TW) * dc * 4 + fixed
+        if use <= budget:
+            return dc
+    return 1
+
+
 def _wta_kernel(
     row_start_s, col_start_s,                 # SMEM scalar-prefetch tables
     maps_hbm, guide_blk, ryw_blk, cxw_blk, out_ref,
     slab, sem,
     *, n_maps: int, D: int, DC: int, RS: int, CS: int,
+    TILE_W: int = TILE_W,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -386,9 +410,10 @@ def fgf_wta_pallas_maps_batched(
     HPf = maps.shape[2] // B
     WPm = maps.shape[3]
 
+    tw = _pick_tile_w(W)
     hp = _round_up(H, TILE_H)
-    wp = _round_up(W, TILE_W)
-    nty, ntx = hp // TILE_H, wp // TILE_W
+    wp = _round_up(W, tw)
+    nty, ntx = hp // TILE_H, wp // tw
 
     sy, fy = linear_coeffs(h, H)
     sx, fx = linear_coeffs(w, W)
@@ -401,11 +426,12 @@ def fgf_wta_pallas_maps_batched(
                   - (sy[np.arange(nty) * TILE_H] // 8) * 8).max()) + 2
     RS = _round_up(8 + span_r, 8)
     row_start = ((sy[np.arange(nty) * TILE_H] // 8) * 8).astype(np.int32)
-    col_base = (sx[np.arange(ntx) * TILE_W] // 128) * 128
-    span_c = int((sx[np.minimum(np.arange(ntx) * TILE_W + TILE_W - 1, wp - 1)]
+    col_base = (sx[np.arange(ntx) * tw] // 128) * 128
+    span_c = int((sx[np.minimum(np.arange(ntx) * tw + tw - 1, wp - 1)]
                   - col_base).max()) + 2
     CS = _round_up(span_c, 128)
     col_start = col_base.astype(np.int32)
+    DC = _gen_plan_dc(D, DC, RS, CS, tw) if not interpret else DC
 
     if not (HPf >= h and RS <= HPf and CS <= WPm):
         raise ValueError(
@@ -419,7 +445,7 @@ def fgf_wta_pallas_maps_batched(
     row_start = np.minimum(row_start, HPf - RS).astype(np.int32)
     col_start = np.minimum(col_start, WPm - CS).astype(np.int32)
     ry_rel = (sy - np.repeat(row_start, TILE_H)).astype(np.float32)
-    cx_rel = (sx - np.repeat(col_start, TILE_W)).astype(np.float32)
+    cx_rel = (sx - np.repeat(col_start, tw)).astype(np.float32)
     row_start_b = (
         np.tile(row_start, B)
         + np.repeat(np.arange(B, dtype=np.int32) * HPf, nty)
@@ -429,28 +455,28 @@ def fgf_wta_pallas_maps_batched(
     guide_p = jnp.pad(guide_p, ((0, 0), (0, 0), (0, hp - H), (0, wp - W)))
     guide_p = jnp.transpose(guide_p, (1, 0, 2, 3)).reshape(3, B * hp, wp)
 
-    ryw = np.zeros((nty, TILE_H, TILE_W), np.float32)
+    ryw = np.zeros((nty, TILE_H, tw), np.float32)
     ryw[:, :, 0] = ry_rel.reshape(nty, TILE_H)
     ryw[:, :, 1] = fy.reshape(nty, TILE_H)
     ryw = np.tile(ryw, (B, 1, 1))
-    CW = max(CS, TILE_W)
+    CW = max(CS, tw)
     cxw = np.zeros((ntx, 16, CW), np.float32)
-    cxw[:, 0, :TILE_W] = cx_rel.reshape(ntx, TILE_W)
-    cxw[:, 1, :TILE_W] = fx.reshape(ntx, TILE_W)
+    cxw[:, 0, :tw] = cx_rel.reshape(ntx, tw)
+    cxw[:, 1, :tw] = fx.reshape(ntx, tw)
 
     kernel = functools.partial(
-        _wta_kernel, n_maps=4, D=D, DC=DC, RS=RS, CS=CS,
+        _wta_kernel, n_maps=4, D=D, DC=DC, RS=RS, CS=CS, TILE_W=tw,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B * nty, ntx),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                       # maps
-            pl.BlockSpec((3, TILE_H, TILE_W), lambda i, j, *_: (0, i, j)),
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((3, TILE_H, tw), lambda i, j, *_: (0, i, j)),
+            pl.BlockSpec((1, TILE_H, tw), lambda i, j, *_: (i, 0, 0)),
             pl.BlockSpec((1, 16, CW), lambda i, j, *_: (j, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
+        out_specs=pl.BlockSpec((TILE_H, tw), lambda i, j, *_: (i, j)),
         scratch_shapes=[
             pltpu.VMEM((2, 4, DC, RS, CS), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -626,9 +652,10 @@ def _fgf_wta_pallas_impl(
             raise ValueError(f"polyphase WTA does not apply to {w}->{W}")
         return _wta_poly_run(guide, maps, h, w, out_hw, DC, pp, interpret,
                              tile_h=tile_h, mm_precision=mm_precision)
+    tw = _pick_tile_w(W)
     hp = _round_up(H, TILE_H)
-    wp = _round_up(W, TILE_W)
-    nty, ntx = hp // TILE_H, wp // TILE_W
+    wp = _round_up(W, tw)
+    nty, ntx = hp // TILE_H, wp // tw
 
     sy, fy = linear_coeffs(h, H)
     sx, fx = linear_coeffs(w, W)
@@ -644,11 +671,12 @@ def _fgf_wta_pallas_impl(
     RS = _round_up(8 + span_r, 8)
     row_start = ((sy[np.arange(nty) * TILE_H] // 8) * 8).astype(np.int32)
 
-    col_base = (sx[np.arange(ntx) * TILE_W] // 128) * 128
-    span_c = int((sx[np.minimum(np.arange(ntx) * TILE_W + TILE_W - 1, wp - 1)]
+    col_base = (sx[np.arange(ntx) * tw] // 128) * 128
+    span_c = int((sx[np.minimum(np.arange(ntx) * tw + tw - 1, wp - 1)]
                   - col_base).max()) + 2
     CS = _round_up(span_c, 128)
     col_start = col_base.astype(np.int32)
+    DC = _gen_plan_dc(D, DC, RS, CS, tw) if not interpret else DC
 
     hpad = int(row_start.max()) + RS
     wpad = int(col_start.max()) + CS
@@ -668,34 +696,34 @@ def _fgf_wta_pallas_impl(
             ((0, 0), (0, 0), (0, max(hpad - HPm, 0)), (0, max(wpad - WPm, 0))),
         )
     ry_rel = (sy - np.repeat(row_start, TILE_H)).astype(np.float32)
-    cx_rel = (sx - np.repeat(col_start, TILE_W)).astype(np.float32)
+    cx_rel = (sx - np.repeat(col_start, tw)).astype(np.float32)
 
     guide_p = jnp.pad(
         jnp.moveaxis(guide, -1, 0), ((0, 0), (0, hp - H), (0, wp - W))
     )
 
     # packed per-tile tables (blocked VMEM inputs)
-    ryw = np.zeros((nty, TILE_H, TILE_W), np.float32)
+    ryw = np.zeros((nty, TILE_H, tw), np.float32)
     ryw[:, :, 0] = ry_rel.reshape(nty, TILE_H)
     ryw[:, :, 1] = fy.reshape(nty, TILE_H)
-    CW = max(CS, TILE_W)
+    CW = max(CS, tw)
     cxw = np.zeros((ntx, 16, CW), np.float32)
-    cxw[:, 0, :TILE_W] = cx_rel.reshape(ntx, TILE_W)
-    cxw[:, 1, :TILE_W] = fx.reshape(ntx, TILE_W)
+    cxw[:, 0, :tw] = cx_rel.reshape(ntx, tw)
+    cxw[:, 1, :tw] = fx.reshape(ntx, tw)
 
     kernel = functools.partial(
-        _wta_kernel, n_maps=4, D=D, DC=DC, RS=RS, CS=CS,
+        _wta_kernel, n_maps=4, D=D, DC=DC, RS=RS, CS=CS, TILE_W=tw,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nty, ntx),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                       # maps
-            pl.BlockSpec((3, TILE_H, TILE_W), lambda i, j, *_: (0, i, j)),
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((3, TILE_H, tw), lambda i, j, *_: (0, i, j)),
+            pl.BlockSpec((1, TILE_H, tw), lambda i, j, *_: (i, 0, 0)),
             pl.BlockSpec((1, 16, CW), lambda i, j, *_: (j, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
+        out_specs=pl.BlockSpec((TILE_H, tw), lambda i, j, *_: (i, j)),
         scratch_shapes=[
             pltpu.VMEM((2, 4, DC, RS, CS), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),

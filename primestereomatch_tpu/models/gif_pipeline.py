@@ -120,9 +120,13 @@ def stereo_gif_forward(
         # fully fused TPU path: the low-res (a, b) chain runs in one Pallas
         # kernel emitting the maps in the WTA kernel's padded layout — the
         # maps are written once and DMA'd once (kernels/lowmaps_pallas.py)
-        from primestereomatch_tpu.kernels.lowmaps_pallas import fgf_low_maps_pallas
+        from primestereomatch_tpu.kernels.lowmaps_pallas import (
+            fgf_low_maps_pallas,
+            fgf_low_maps_pallas_batched,
+        )
         from primestereomatch_tpu.kernels.wta_pallas import (
             fgf_wta_pallas_maps,
+            fgf_wta_pallas_maps_batched,
             poly_col_params,
         )
 
@@ -130,18 +134,31 @@ def stereo_gif_forward(
         # exact integer column upscale -> polyphase WTA kernel (elementwise
         # lerps instead of the CS-deep column matmul; DMA-bound not MXU-bound)
         pp = poly_col_params(w, W)
-        lowm = functools.partial(
-            fgf_low_maps_pallas, radius=cfg.gif_radius, eps=cfg.gif_eps,
-            subsample=s,
-            out_wp=pp["out_wp"] if pp else None,
-            out_margin=pp["margin"] if pp else 0,
-        )
         dc = min(32, cfg.max_dis)
-        wta = functools.partial(
-            fgf_wta_pallas_maps, d_chunk=dc, poly=pp is not None,
-        )
-        l_disp = wta(l_img, lowm(l_img, lcv_low), (h, w), (H, W))
-        r_disp = wta(r_img, lowm(r_img, rcv_low), (h, w), (H, W))
+        if pp is None:
+            # generic-kernel shapes: fold the two VIEWS into one launch per
+            # stage (batch-of-2 on the row-tile grid axis) — halves the
+            # per-frame kernel dispatch count, bitwise-equal to per-view
+            g2 = jnp.stack([l_img, r_img])
+            p2 = jnp.stack([lcv_low, rcv_low])
+            maps2 = fgf_low_maps_pallas_batched(
+                g2, p2, radius=cfg.gif_radius, eps=cfg.gif_eps, subsample=s,
+            )
+            d2 = fgf_wta_pallas_maps_batched(
+                g2, maps2, (h, w), (H, W), d_chunk=dc,
+            )
+            l_disp, r_disp = d2[0], d2[1]
+        else:
+            lowm = functools.partial(
+                fgf_low_maps_pallas, radius=cfg.gif_radius, eps=cfg.gif_eps,
+                subsample=s,
+                out_wp=pp["out_wp"], out_margin=pp["margin"],
+            )
+            wta = functools.partial(
+                fgf_wta_pallas_maps, d_chunk=dc, poly=True,
+            )
+            l_disp = wta(l_img, lowm(l_img, lcv_low), (h, w), (H, W))
+            r_disp = wta(r_img, lowm(r_img, rcv_low), (h, w), (H, W))
     else:
         low = functools.partial(
             fgf_low_maps, radius=cfg.gif_radius, eps=cfg.gif_eps, subsample=s
@@ -262,31 +279,23 @@ def stereo_gif_forward_batch(
         pp = poly_col_params(w, W)
         if pp is None:
             # generic-kernel shapes: ONE folded pallas_call per stage for
-            # the whole batch (frames on the row-tile grid axis) — per-
-            # frame kernel dispatch is what caps small-image batch fps
-            maps_l = fgf_low_maps_pallas_batched(
-                l_imgs, lcv, radius=cfg.gif_radius, eps=cfg.gif_eps,
+            # all 2B views (frames on the row-tile grid axis) — per-frame
+            # kernel dispatch is what caps small-image batch fps
+            g_all = jnp.concatenate([l_imgs, r_imgs])
+            p_all = jnp.concatenate([lcv, rcv])
+            maps = fgf_low_maps_pallas_batched(
+                g_all, p_all, radius=cfg.gif_radius, eps=cfg.gif_eps,
                 subsample=s,
             )
-            maps_r = fgf_low_maps_pallas_batched(
-                r_imgs, rcv, radius=cfg.gif_radius, eps=cfg.gif_eps,
-                subsample=s,
-            )
-            l_disp = fgf_wta_pallas_maps_batched(
-                l_imgs, maps_l, (h, w), (H, W), d_chunk=dc,
-            )
-            r_disp = fgf_wta_pallas_maps_batched(
-                r_imgs, maps_r, (h, w), (H, W), d_chunk=dc,
+            d_all = fgf_wta_pallas_maps_batched(
+                g_all, maps, (h, w), (H, W), d_chunk=dc,
             )
             if run_postprocess:
                 # joint_wmf_pallas's custom_vmap lowers to one batched call
-                l_disp = jax.vmap(lambda d, i: _wmf_exact(d, i, cfg))(
-                    l_disp, l_imgs
+                d_all = jax.vmap(lambda d, i: _wmf_exact(d, i, cfg))(
+                    d_all, g_all
                 )
-                r_disp = jax.vmap(lambda d, i: _wmf_exact(d, i, cfg))(
-                    r_disp, r_imgs
-                )
-            return l_disp, r_disp
+            return d_all[:B], d_all[B:]
 
         lowm = functools.partial(
             fgf_low_maps_pallas, radius=cfg.gif_radius, eps=cfg.gif_eps,
