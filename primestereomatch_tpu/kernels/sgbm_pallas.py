@@ -298,22 +298,223 @@ def sgbm_scan_pallas(
     return outs
 
 
+def _bt_cost_kernel(
+    l_ref,          # (9, TH + k - 1, Wp) int8: l_ftr/l_min/l_max x 3 ch
+    r_ref,          # (9, TH + k - 1, Wp) int8: r_min/r_max/r_ftr x 3 ch
+    out_ref,        # (DC, TH, Wp) int16/int32 block cost
+    *, k: int, DC: int, TH: int, H: int, W: int, out_dtype,
+):
+    """One (row-tile, d-chunk) cell of the fused BT + block-sum cost.
+
+    The feature blocks carry their vertical halo (k-1 rows, edge-replicated
+    by the caller), so pixel cost is computed for TH + k - 1 rows and both
+    window sums run entirely in registers. Per d: the three right-feature
+    planes are aligned with ONE cyclic lane roll (dynamic d0 + static j
+    compose), and lanes x < d take the left-edge replicate (reference
+    left-pad semantics) via a masked broadcast of column 0 — cyclic wrap
+    junk lands only in those masked lanes. Output lanes >= W and rows >= H
+    are written as ZEROS: a zero cost row maps the aggregation scans'
+    initial carry to itself, so downstream kernels can consume the padded
+    volume directly."""
+    h = pl.program_id(0)
+    d0 = pl.program_id(1) * DC
+    # block rows = TH + k - 1 rounded up to the sublane tile; the extra
+    # clipped rows at the bottom are computed but never summed
+    TI = l_ref.shape[1]
+    Wp = out_ref.shape[-1]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TI, Wp), 1)
+    l_f = l_ref[0:3].astype(jnp.int32)
+    l_mn = l_ref[3:6].astype(jnp.int32)
+    l_mx = l_ref[6:9].astype(jnp.int32)
+    r_mn = r_ref[0:3].astype(jnp.int32)
+    r_mx = r_ref[3:6].astype(jnp.int32)
+    r_f = r_ref[6:9].astype(jnp.int32)
+
+    # once per chunk: dynamic cyclic roll to d0 (per-j rolls are static)
+    def roll_d0(p):
+        return pltpu.roll(p, d0, axis=1)
+
+    r_mn0 = [roll_d0(r_mn[c]) for c in range(3)]
+    r_mx0 = [roll_d0(r_mx[c]) for c in range(3)]
+    r_f0 = [roll_d0(r_f[c]) for c in range(3)]
+    c_mn = [r_mn[c][:, 0:1] for c in range(3)]
+    c_mx = [r_mx[c][:, 0:1] for c in range(3)]
+    c_f = [r_f[c][:, 0:1] for c in range(3)]
+
+    lo = k // 2
+    row0 = h * TH  # global image row of output row 0
+    out_row = jax.lax.broadcasted_iota(jnp.int32, (TH, Wp), 0) + row0
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (TH, Wp), 1)
+
+    for j in range(DC):
+        d = d0 + j
+        edge = lane < d
+        pc = jnp.zeros((TI, Wp), jnp.int32)
+        for c in range(3):
+            rm = jnp.where(edge, c_mn[c], _roll_static(r_mn0[c], j))
+            rM = jnp.where(edge, c_mx[c], _roll_static(r_mx0[c], j))
+            rf = jnp.where(edge, c_f[c], _roll_static(r_f0[c], j))
+            c1 = jnp.maximum(jnp.maximum(l_f[c] - rM, rm - l_f[c]), 0)
+            c2 = jnp.maximum(jnp.maximum(rf - l_mx[c], l_mn[c] - rf), 0)
+            pc = pc + jnp.minimum(c1, c2)
+        # horizontal edge replicate: lanes >= W take column W-1
+        pc = jnp.where(lane >= W, pc[:, W - 1 : W], pc)
+        # vertical k-window sum (halo rows included in the block)
+        vs = pc[0:TH]
+        for i in range(1, k):
+            vs = vs + pc[i : i + TH]
+        # horizontal k-window sum with edge replicate at x=0
+        hs = vs
+        for dx in range(1, lo + 1):
+            right = jnp.where(
+                out_lane < dx, vs[:, 0:1], _roll_static(vs, dx)
+            )
+            left = _roll_static(vs, -dx)  # lanes >= W already replicated
+            hs = hs + right + left
+        # zero the padding (lanes >= W, rows >= H): zero cost rows are
+        # scan-neutral for the aggregation kernels
+        hs = jnp.where((out_lane >= W) | (out_row >= H), 0, hs)
+        out_ref[j] = hs.astype(out_dtype)
+
+
+def _roll_static(x, sh: int):
+    if sh < 0:
+        sh += x.shape[1]
+    return pltpu.roll(x, sh, axis=1)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("p1", "p2", "num_directions", "cost_bound", "interpret"),
+    static_argnames=("max_dis", "block_size", "cost_bound", "interpret"),
+)
+def bt_block_cost_pallas(
+    l_ftr: jax.Array,          # (H, W, C=3) int32 prefiltered features
+    r_ftr: jax.Array,
+    max_dis: int,
+    block_size: int,
+    cost_bound: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused BT pixel cost + block window sum as ONE Pallas launch,
+    returning (D, Hp, Wp) with zeroed padding (Hp/Wp = tile-rounded H/W).
+
+    Value-identical on the logical (D, H, W) region to
+    `ops/sgbm.py::bt_block_cost(..., out_layout='dhw')`. The XLA fusion of
+    the same dataflow costs ~107 ms at 2K/d=256 because every d re-reads
+    the feature planes from HBM and the window sums materialize
+    chunk-sized intermediates; here the feature tiles sit in VMEM across
+    the whole d-chunk loop (the d grid axis is innermost, so Pallas elides
+    their re-DMA) and the only HBM writes are the int16 output blocks.
+
+    Requires features in [0, 127] (pre_filter_cap <= 63, the reference
+    setting) and cost_bound < 2**15; callers fall back to the XLA path
+    otherwise."""
+    H, W, C = l_ftr.shape
+    if C != 3:
+        raise ValueError("bt_block_cost_pallas expects 3-channel features")
+    k = block_size
+    out_dt = jnp.int16 if (cost_bound is not None and cost_bound < 2**15) else jnp.int32
+
+    TH = 8
+    DC = min(64, max_dis)
+    while max_dis % DC:
+        DC //= 2
+    GH = -(-H // TH)
+    GD = max_dis // DC
+    Hp = GH * TH
+    Wp = _round_up(W, 128)
+
+    # (9, H, W) int8 feature stacks: [ftr, min, max] x 3ch (left),
+    # [min, max, ftr] x 3ch (right)
+    def interp(f):
+        prev = jnp.concatenate([f[..., :1], f[..., :-1]], axis=-1)
+        nxt = jnp.concatenate([f[..., 1:], f[..., -1:]], axis=-1)
+        lo = (f + prev) // 2
+        hi = (f + nxt) // 2
+        return (
+            jnp.minimum(jnp.minimum(lo, hi), f),
+            jnp.maximum(jnp.maximum(lo, hi), f),
+        )
+
+    lc = jnp.transpose(l_ftr, (2, 0, 1))
+    rc = jnp.transpose(r_ftr, (2, 0, 1))
+    l_mn, l_mx = interp(lc)
+    r_mn, r_mx = interp(rc)
+    lstk = jnp.concatenate([lc, l_mn, l_mx]).astype(jnp.int8)
+    rstk = jnp.concatenate([r_mn, r_mx, rc]).astype(jnp.int8)
+
+    # overlapping row tiles with the vertical halo baked in (features are
+    # ~40x smaller than the cost volume; the ~2x row duplication is free);
+    # tile rows round up to the sublane tile (8) for the block spec
+    TI = _round_up(TH + k - 1, 8)
+    lo_h = k // 2
+    rows = (
+        jnp.arange(TI, dtype=jnp.int32)[None, :]
+        + jnp.arange(GH, dtype=jnp.int32)[:, None] * TH - lo_h
+    ).reshape(-1)
+    rows = jnp.clip(rows, 0, H - 1)
+    lov = jnp.pad(lstk[:, rows, :], ((0, 0), (0, 0), (0, Wp - W)), mode="edge")
+    rov = jnp.pad(rstk[:, rows, :], ((0, 0), (0, 0), (0, Wp - W)), mode="edge")
+
+    kernel = functools.partial(
+        _bt_cost_kernel, k=k, DC=DC, TH=TH, H=H, W=W, out_dtype=out_dt,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(GH, GD),
+        in_specs=[
+            pl.BlockSpec((9, TI, Wp), lambda h, d: (0, h, 0)),
+            pl.BlockSpec((9, TI, Wp), lambda h, d: (0, h, 0)),
+        ],
+        out_specs=pl.BlockSpec((DC, TH, Wp), lambda h, d: (d, h, 0)),
+        out_shape=jax.ShapeDtypeStruct((max_dis, Hp, Wp), out_dt),
+        interpret=interpret,
+    )(lov, rov)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "p1", "p2", "num_directions", "cost_bound", "interpret",
+        "in_layout", "out_layout", "logical_hw",
+    ),
 )
 def sgbm_aggregate_pallas(
-    cost: jax.Array,           # (H, W, D) integer window cost
+    cost: jax.Array,           # integer window cost, layout per in_layout
     p1: int, p2: int,
     num_directions: int = 8,
     cost_bound: int | None = None,
     interpret: bool = False,
+    in_layout: str = "hwd",    # "hwd" (H, W, D) | "dhw" (D, H, W)
+    out_layout: str = "hwd",   # "hwd" (H, W, D) | "hdw" (H, D, W)
+    logical_hw: tuple | None = None,
 ) -> jax.Array:
     """Drop-in replacement for `ops/sgbm.py::aggregate` on TPU: same
     direction sets (8 = MODE_HH, 5 = MODE_SGBM, 3 = MODE_SGBM_3WAY,
     reference toggle src/main.cpp:161-163), same integer math, scans run
-    as Pallas kernels. Returns (H, W) int32."""
-    H, W, D = cost.shape
+    as Pallas kernels.
+
+    The layout knobs exist because the kernel operands want the line axis
+    on lanes ((T, D, N)); consuming (D, H, W) from the fused cost stage and
+    emitting (H, D, W) for the lane-major WTA keeps every glue transpose a
+    minor-dim-preserving one and never materializes a small-minor-dim
+    (here: nothing worse than D=256 lanes) tensor. Values are identical in
+    all layouts.
+
+    logical_hw: when the dhw cost arrives PADDED beyond (H, W) — e.g.
+    straight from `bt_block_cost_pallas` — pass the logical extent here.
+    The padding must be ZERO: a zero cost plane maps the scans' zero
+    initial state to itself (L' = 0 + best - minL = 0), so the padded
+    rows/lanes behave exactly like the virtual pre-scan state and the
+    logical region is bit-identical; the final accumulation slices back to
+    (H, D, W) (the slices fuse into the adds)."""
+    if in_layout == "dhw":
+        D, H, W = cost.shape
+        if logical_hw is not None:
+            H, W = logical_hw
+    else:
+        H, W, D = cost.shape
     if num_directions not in (3, 5, 8):
         raise ValueError(f"num_directions must be 3, 5 or 8, got {num_directions}")
 
@@ -336,25 +537,34 @@ def sgbm_aggregate_pallas(
     )
     cost = cost.astype(cost_dt)
 
-    Hp = _round_up(H, 128)
-    Wp = _round_up(W, 128)
-
-    # x-scans: T = W, line axis = H. (H, W, D) -> (W, D, H)
-    cx = jnp.transpose(cost, (1, 2, 0))
-    cx = jnp.pad(cx, ((0, 0), (0, 0), (0, Hp - H)))
+    # x-scans: T = W, line axis = H -> (W, D, H); scan-axis padding rows
+    # (zero cost) are scan-neutral, line-axis lanes pad to the 128 tile
+    if in_layout == "dhw":
+        cx = jnp.transpose(cost, (2, 0, 1))
+    else:
+        cx = jnp.transpose(cost, (1, 2, 0))
+    cx = jnp.pad(
+        cx, ((0, 0), (0, 0), (0, _round_up(cx.shape[2], 128) - cx.shape[2]))
+    )
     Lx_f, Lx_b = sgbm_scan_pallas(
         cx, p1, p2, shifts=(0, 0), lane_dir=(False, True),
         groups=(((0,), False), ((1,), True)), n_valid=H,
         out_dtype=out_dt, math_dtype=math_dt, acc_dtype=acc_dt,
         interpret=interpret,
     )
-    # (W, D, Hp) -> (H, W, D)
-    S = jnp.transpose(Lx_f[:, :, :H], (2, 0, 1)).astype(jnp.int32)
-    S = S + jnp.transpose(Lx_b[:, :, :H], (2, 0, 1))
+    # accumulate in (H, D, W): y-scan outputs land in it natively; the
+    # logical-region slices fuse into the adds
+    Sx = (Lx_f[:W, :, :H] + Lx_b[:W, :, :H].astype(jnp.int32))
+    S = jnp.transpose(Sx, (2, 1, 0))                       # (H, D, W)
 
-    # y-scans: T = H, line axis = W. (H, W, D) -> (H, D, W)
-    cy = jnp.transpose(cost, (0, 2, 1))
-    cy = jnp.pad(cy, ((0, 0), (0, 0), (0, Wp - W)))
+    # y-scans: T = H, line axis = W -> (H, D, W)
+    if in_layout == "dhw":
+        cy = jnp.transpose(cost, (1, 0, 2))
+    else:
+        cy = jnp.transpose(cost, (0, 2, 1))
+    cy = jnp.pad(
+        cy, ((0, 0), (0, 0), (0, _round_up(cy.shape[2], 128) - cy.shape[2]))
+    )
     if num_directions == 3:
         (Ld,) = sgbm_scan_pallas(
             cy, p1, p2, shifts=(0,), lane_dir=(False,),
@@ -362,23 +572,25 @@ def sgbm_aggregate_pallas(
             out_dtype=out_dt, math_dtype=math_dt, acc_dtype=acc_dt,
             interpret=interpret,
         )
-        return S + jnp.transpose(Ld[:, :, :W], (0, 2, 1))
-    if num_directions == 5:
+        S = S + Ld[:H, :, :W]
+    elif num_directions == 5:
         (Ld,) = sgbm_scan_pallas(
             cy, p1, p2, shifts=(0, 1, -1), lane_dir=(False, False, False),
             groups=(((0, 1, 2), False),), n_valid=W,
             out_dtype=out_dt, math_dtype=math_dt, acc_dtype=acc_dt,
             interpret=interpret,
         )
-        return S + jnp.transpose(Ld[:, :, :W], (0, 2, 1))
-
-    Ld_f, Ld_b = sgbm_scan_pallas(
-        cy, p1, p2, shifts=(0, 1, -1, 0, 1, -1),
-        lane_dir=(False, False, False, True, True, True),
-        groups=(((0, 1, 2), False), ((3, 4, 5), True)), n_valid=W,
-        out_dtype=out_dt, math_dtype=math_dt, acc_dtype=acc_dt,
-        interpret=interpret,
-    )
-    S = S + jnp.transpose(Ld_f[:, :, :W], (0, 2, 1))
-    S = S + jnp.transpose(Ld_b[:, :, :W], (0, 2, 1))
-    return S
+        S = S + Ld[:H, :, :W]
+    else:
+        Ld_f, Ld_b = sgbm_scan_pallas(
+            cy, p1, p2, shifts=(0, 1, -1, 0, 1, -1),
+            lane_dir=(False, False, False, True, True, True),
+            groups=(((0, 1, 2), False), ((3, 4, 5), True)), n_valid=W,
+            out_dtype=out_dt, math_dtype=math_dt, acc_dtype=acc_dt,
+            interpret=interpret,
+        )
+        S = S + Ld_f[:H, :, :W]
+        S = S + Ld_b[:H, :, :W]
+    if out_layout == "hdw":
+        return S
+    return jnp.transpose(S, (0, 2, 1))

@@ -21,11 +21,10 @@ from primestereomatch_tpu.config import SGBMConfig
 from primestereomatch_tpu.ops.sgbm import (
     DISP_SCALE,
     aggregate,
-    block_cost,
+    bt_block_cost,
     clipped_xderiv,
     filter_speckles,
-    select_disparity,
-    _bt_cost_1d,
+    select_disparity_hdw,
 )
 
 
@@ -48,12 +47,8 @@ def stereo_sgbm_forward(
     # static value bound on the window cost (BT cost per channel is at most
     # 2*cap since features live in [0, 2*cap]) — lets the aggregation scans
     # write narrow dtypes without any value change
-    ch = l_img_u8.shape[2]
+    H, W, ch = l_img_u8.shape
     cost_bound = cfg.block_size**2 * ch * 2 * cfg.pre_filter_cap
-    pix = _bt_cost_1d(l_ftr, r_ftr, cfg.num_disparities)
-    if cost_bound < 2**15:
-        pix = pix.astype(jnp.int16)
-    C = block_cost(pix, cfg.block_size)
     agg_impl = cfg.agg_impl
     if agg_impl == "auto":
         # the Pallas scan kernel needs sublane-aligned D (int16 tiling)
@@ -62,17 +57,52 @@ def stereo_sgbm_forward(
             if jax.default_backend() == "tpu" and cfg.num_disparities % 8 == 0
             else "xla"
         )
-    if agg_impl == "pallas":
-        from primestereomatch_tpu.kernels.sgbm_pallas import sgbm_aggregate_pallas
+    # fused BT + window sum in (D, H, W): the pixel-cost volume never hits
+    # HBM and W stays on lanes end-to-end (cost -> scans -> select). On the
+    # Pallas path the cost kernel keeps feature tiles VMEM-resident across
+    # the d loop and hands a zero-padded volume straight to the scans.
+    use_cost_kernel = (
+        agg_impl == "pallas"
+        and ch == 3
+        and 2 * cfg.pre_filter_cap <= 127
+        and cost_bound < 2**15
+    )
+    if use_cost_kernel:
+        from primestereomatch_tpu.kernels.sgbm_pallas import (
+            bt_block_cost_pallas,
+            sgbm_aggregate_pallas,
+        )
 
+        C = bt_block_cost_pallas(
+            l_ftr, r_ftr, cfg.num_disparities, cfg.block_size,
+            cost_bound=cost_bound,
+        )
         S = sgbm_aggregate_pallas(
-            C, cfg.p1, cfg.p2, cfg.num_directions, cost_bound=cost_bound
+            C, cfg.p1, cfg.p2, cfg.num_directions, cost_bound=cost_bound,
+            in_layout="dhw", out_layout="hdw", logical_hw=(H, W),
         )
     else:
-        S = aggregate(
-            C, cfg.p1, cfg.p2, cfg.num_directions, cost_bound=cost_bound
+        C = bt_block_cost(
+            l_ftr, r_ftr, cfg.num_disparities, cfg.block_size,
+            cost_bound=cost_bound, feat_bound=2 * cfg.pre_filter_cap,
+            out_layout="dhw",
         )
-    disp16 = select_disparity(
+        if agg_impl == "pallas":
+            from primestereomatch_tpu.kernels.sgbm_pallas import (
+                sgbm_aggregate_pallas,
+            )
+
+            S = sgbm_aggregate_pallas(
+                C, cfg.p1, cfg.p2, cfg.num_directions, cost_bound=cost_bound,
+                in_layout="dhw", out_layout="hdw",
+            )
+        else:
+            S = aggregate(
+                jnp.transpose(C, (1, 2, 0)), cfg.p1, cfg.p2,
+                cfg.num_directions, cost_bound=cost_bound,
+            )
+            S = jnp.transpose(S, (0, 2, 1))
+    disp16 = select_disparity_hdw(
         S, cfg.uniqueness_ratio, cfg.disp12_max_diff, cfg.min_disparity
     )
     if cfg.speckle_window_size > 0:

@@ -27,6 +27,8 @@ from primestereomatch_tpu.ops.sgbm import (  # noqa: F401
     DISP_SCALE,
     aggregate,
     block_cost,
+    bt_block_cost,
+    select_disparity_hdw,
     clipped_xderiv,
     filter_speckles,
     select_disparity,

@@ -132,6 +132,139 @@ def block_cost(pixel_cost: jax.Array, block_size: int) -> jax.Array:
     )
 
 
+def _block_sum_sep_dhw(p: jax.Array, k: int) -> jax.Array:
+    """Separable k x k window sum with replicated borders over the trailing
+    two axes of (D, H, W) — H on sublanes, W on lanes, so every shift is
+    full-occupancy VPU work. Edge-padding per axis commutes with the
+    per-axis sums (corner pads replicate the corner pixel either way), so
+    this is exactly `block_cost` as k shifted adds per axis instead of a
+    k*k-read reduce_window."""
+    if k == 1:
+        return p
+    lo = k // 2
+    hi = k - 1 - lo
+    H, W = p.shape[1], p.shape[2]
+    py = jnp.pad(p, ((0, 0), (lo, hi), (0, 0)), mode="edge")
+    acc = py[:, 0:H]
+    for i in range(1, k):
+        acc = acc + py[:, i : i + H]
+    px = jnp.pad(acc, ((0, 0), (0, 0), (lo, hi)), mode="edge")
+    acc = px[:, :, 0:W]
+    for i in range(1, k):
+        acc = acc + px[:, :, i : i + W]
+    return acc
+
+
+def bt_block_cost(
+    l_ftr: jax.Array,
+    r_ftr: jax.Array,
+    max_dis: int,
+    block_size: int,
+    cost_bound: int | None = None,
+    feat_bound: int | None = None,
+    out_layout: str = "hwd",
+) -> jax.Array:
+    """Fused BT pixel cost + block window sum, chunked over d.
+
+    Value-identical to `block_cost(_bt_cost_1d(l, r, D), block_size)`
+    (modulo `out_layout`), but engineered for TPU memory layout and HBM
+    bandwidth — the terms that dominate this stage at 2K/d=256 (unfused:
+    ~125 ms; fused but pixel-layout: ~111 ms):
+
+      * ALL internal arrays keep W on the minor (lane) axis: features are
+        (C, H, W) and the output is built (D, H, W). A (H, W, 3) array on
+        TPU pads its 3-wide minor dim to the 128-lane tile — a 42x
+        physical inflation that turns the per-d feature re-reads into the
+        whole stage cost;
+      * the pixel-cost volume never reaches HBM: each d-chunk is
+        window-summed immediately (two separable shifted-add passes) and
+        only the block cost is written, in int16 when `cost_bound`
+        (static bound on the window cost, block^2 * ch * 2 *
+        pre_filter_cap) fits;
+      * ONE dynamic slice per d-chunk, then static per-d lane shifts
+        inside the chunk (dynamic-start slices materialize copies);
+      * feature interpolants are stored at `feat_bound` width (int8 for
+        the reference pre_filter_cap=63 whose features live in [0, 126])
+        and widened in-register per use.
+
+    out_layout: "dhw" returns (D, H, W) — the layout the aggregation
+    kernels consume (their scan operands put the line axis on lanes);
+    "hwd" returns the conventional (H, W, D).
+    """
+    H, W, C = l_ftr.shape
+    out_dt = jnp.int32
+    if cost_bound is not None and int(cost_bound) < 2**15:
+        out_dt = jnp.int16
+    # per-pixel BT cost is <= C * 2 * cap; the int16 cast below is safe
+    # whenever the block bound (k^2 times larger) is
+    feat_dt = jnp.int32
+    if feat_bound is not None:
+        if int(feat_bound) <= 127:
+            feat_dt = jnp.int8
+        elif int(feat_bound) < 2**15:
+            feat_dt = jnp.int16
+
+    lc = jnp.transpose(l_ftr, (2, 0, 1))  # (C, H, W): W on lanes
+    rc = jnp.transpose(r_ftr, (2, 0, 1))
+
+    def interp(f):
+        prev = jnp.concatenate([f[..., :1], f[..., :-1]], axis=-1)
+        nxt = jnp.concatenate([f[..., 1:], f[..., -1:]], axis=-1)
+        lo = (f + prev) // 2
+        hi = (f + nxt) // 2
+        return (
+            jnp.minimum(jnp.minimum(lo, hi), f),
+            jnp.maximum(jnp.maximum(lo, hi), f),
+        )
+
+    r_min, r_max = interp(rc)
+    l_min, l_max = interp(lc)
+
+    lf_n, lmin_n, lmax_n = (
+        lc.astype(feat_dt), l_min.astype(feat_dt), l_max.astype(feat_dt)
+    )
+
+    def pad_l(a):
+        a = a.astype(feat_dt)
+        return jnp.concatenate(
+            [jnp.repeat(a[..., :1], max_dis, axis=-1), a], axis=-1
+        )
+
+    rm_p, rM_p, rf_p = pad_l(r_min), pad_l(r_max), pad_l(rc)
+
+    d_chunk = max_dis
+    for cand in (32, 16, 8, 4, 2, 1):
+        if max_dis % cand == 0:
+            d_chunk = min(cand, max_dis)
+            break
+
+    cwidth = W + d_chunk - 1
+
+    def chunk(d0):
+        # disparity d0 + j reads right columns x - d0 - j; the union over
+        # the chunk is one window of cwidth columns, sliced ONCE
+        start = max_dis - d0 - (d_chunk - 1)
+        rm_c = lax.dynamic_slice_in_dim(rm_p, start, cwidth, axis=-1)
+        rM_c = lax.dynamic_slice_in_dim(rM_p, start, cwidth, axis=-1)
+        rf_c = lax.dynamic_slice_in_dim(rf_p, start, cwidth, axis=-1)
+        outs = []
+        for j in range(d_chunk):
+            o = d_chunk - 1 - j
+            rm = rm_c[..., o : o + W].astype(jnp.int32)
+            rM = rM_c[..., o : o + W].astype(jnp.int32)
+            rf = rf_c[..., o : o + W].astype(jnp.int32)
+            c1 = jnp.maximum(jnp.maximum(lf_n - rM, rm - lf_n), 0)
+            c2 = jnp.maximum(jnp.maximum(rf - lmax_n, lmin_n - rf), 0)
+            outs.append(jnp.sum(jnp.minimum(c1, c2), axis=0).astype(out_dt))
+        return _block_sum_sep_dhw(jnp.stack(outs, axis=0), block_size)
+
+    res = lax.map(chunk, jnp.arange(0, max_dis, d_chunk))
+    dhw = res.reshape(max_dis, H, W)
+    if out_layout == "dhw":
+        return dhw
+    return jnp.transpose(dhw, (1, 2, 0))
+
+
 def _dp_line(costs: jax.Array, p1: int, p2: int, shift: int) -> jax.Array:
     """One aggregation direction as a linear recurrence.
 
@@ -389,6 +522,70 @@ def select_disparity(
     return jnp.where(invalid, inv_val, disp16).astype(jnp.int16)
 
 
+def select_disparity_hdw(
+    S: jax.Array,              # (H, D, W) int32 aggregated cost
+    uniqueness_ratio: int,
+    disp12_max_diff: int,
+    min_disparity: int = 0,
+) -> jax.Array:
+    """`select_disparity` for (H, D, W) layout — bit-identical results.
+
+    W stays on lanes throughout: the d-axis reductions run over sublanes
+    at full lane occupancy, and the right-view diagonal argmin
+    rd(y, xr) = argmin_d S(y, d, xr + d) is a running (min, argmin) over
+    D static LANE shifts of (H, W) planes — no (H, W, D) diagonal volume
+    is ever materialized (the hwd form stacks one: +2.8 GB at 2K/d=256,
+    and its S[:, d:, d] slices stride across lanes).
+    """
+    H, D, W = S.shape
+    d_best = jnp.argmin(S, axis=1)                       # (H, W)
+    s_best = jnp.min(S, axis=1)
+
+    d_idx = jnp.arange(D)[None, :, None]
+    far = jnp.abs(d_idx - d_best[:, None, :]) > 1
+    close_cost = S * (100 - uniqueness_ratio) < s_best[:, None, :] * 100
+    not_unique = jnp.any(far & close_cost, axis=1)
+
+    is_m = d_idx == jnp.clip(d_best - 1, 0, D - 1)[:, None, :]
+    is_p = d_idx == jnp.clip(d_best + 1, 0, D - 1)[:, None, :]
+    s_m = jnp.min(jnp.where(is_m, S, _BIG), axis=1)
+    s_p = jnp.min(jnp.where(is_p, S, _BIG), axis=1)
+    denom = s_m + s_p - 2 * s_best
+    interior = (d_best > 0) & (d_best < D - 1) & (denom > 0)
+    frac = jnp.where(
+        interior,
+        jnp.rint(
+            (s_m - s_p).astype(jnp.float32) * (DISP_SCALE // 2)
+            / jnp.maximum(denom, 1).astype(jnp.float32)
+        ).astype(jnp.int32),
+        0,
+    )
+    disp16 = (d_best.astype(jnp.int32) + min_disparity) * DISP_SCALE + frac
+
+    # right disparity: running strict-less (min, argmin) over ascending d
+    # keeps the first minimum — argmin's tie rule
+    run_min = jnp.full((H, W), _BIG, jnp.int32)
+    rd = jnp.zeros((H, W), jnp.int32)
+    for d in range(D):
+        cand = jnp.pad(S[:, d, d:], ((0, 0), (0, d)), constant_values=_BIG)
+        better = cand < run_min
+        run_min = jnp.where(better, cand, run_min)
+        rd = jnp.where(better, d, rd)
+
+    # rd sampled at x - d_best: D static shifts selected by d_best
+    x = jnp.arange(W)[None, :]
+    rd_at = jnp.zeros_like(rd)
+    for d in range(D):
+        rd_shift = jnp.pad(rd[:, : W - d], ((0, 0), (d, 0)))  # rd[x - d]
+        rd_at = jnp.where(d_best == d, rd_shift, rd_at)
+    lr_bad = (jnp.abs(rd_at - d_best) > disp12_max_diff) & (x - d_best >= 0)
+    lr_bad = lr_bad | ((x - d_best < 0) & (d_best > 0))
+
+    invalid = not_unique | (lr_bad if disp12_max_diff >= 0 else False)
+    inv_val = jnp.int32((min_disparity - 1) * DISP_SCALE)
+    return jnp.where(invalid, inv_val, disp16).astype(jnp.int16)
+
+
 def filter_speckles(
     disp16: jax.Array,         # (H, W) int16 fixed-point disparities
     max_speckle_size: int,
@@ -396,6 +593,7 @@ def filter_speckles(
     invalid_value: int,
     max_iters: int | None = None,
     steps_per_check: int = 4,
+    impl: str = "auto",        # auto | xla | pallas (sweep implementation)
 ) -> jax.Array:
     """Invalidate small connected components of similar disparity
     (cv::filterSpeckles semantics: 4-connectivity, |d(p)-d(q)| <= max_diff,
@@ -424,6 +622,12 @@ def filter_speckles(
     12 ms SGBM frame); batching sweeps cuts the sync count to
     ceil(rounds / steps_per_check) while the extra converged sweeps are
     idempotent vector math (~us). Results are identical for any value.
+
+    impl: 'pallas' runs each sweep's four segmented scans as two Pallas
+    launches with the whole scan axis VMEM-resident
+    (kernels/speckle_pallas.py) — the XLA associative_scan lowering costs
+    ~30 ms per sweep at 2K vs ~1 ms fused; 'auto' = pallas on TPU.
+    Results are bit-identical.
     """
     H, W = disp16.shape
     d = disp16.astype(jnp.int32)
@@ -467,24 +671,41 @@ def filter_speckles(
     conn_row = jnp.stack([conn_lf, conn_rt[:, ::-1]])
     conn_col = jnp.stack([conn_up, conn_dn[::-1]])
 
-    def sweep(lbl):
-        # hook: take the min label over connected neighbours
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    def hook(lbl):
+        # take the min label over connected neighbours
         up, dn, lf, rt = neighbors(lbl)
         m = lbl
         m = jnp.minimum(m, jnp.where(conn_up, up, big))
         m = jnp.minimum(m, jnp.where(conn_dn, dn, big))
         m = jnp.minimum(m, jnp.where(conn_lf, lf, big))
         m = jnp.minimum(m, jnp.where(conn_rt, rt, big))
-        # run propagation: carry the min across whole straight segments —
-        # rows (both directions) then columns (both directions)
-        r, _ = lax.associative_scan(
-            comb, (jnp.stack([m, m[:, ::-1]]), conn_row), axis=2
+        return m
+
+    if impl == "pallas":
+        from primestereomatch_tpu.kernels.speckle_pallas import (
+            segmin_sweep_pallas,
         )
-        m = jnp.minimum(r[0], r[1][:, ::-1])
-        c_, _ = lax.associative_scan(
-            comb, (jnp.stack([m, m[::-1]]), conn_col), axis=1
-        )
-        return jnp.minimum(c_[0], c_[1][::-1])
+
+        def sweep(lbl):
+            m = hook(lbl)
+            m = segmin_sweep_pallas(m, conn_lf, axis=1)
+            return segmin_sweep_pallas(m, conn_up, axis=0)
+    else:
+        def sweep(lbl):
+            m = hook(lbl)
+            # run propagation: carry the min across whole straight
+            # segments — rows (both directions) then columns (both)
+            r, _ = lax.associative_scan(
+                comb, (jnp.stack([m, m[:, ::-1]]), conn_row), axis=2
+            )
+            m = jnp.minimum(r[0], r[1][:, ::-1])
+            c_, _ = lax.associative_scan(
+                comb, (jnp.stack([m, m[::-1]]), conn_col), axis=1
+            )
+            return jnp.minimum(c_[0], c_[1][::-1])
 
     def body(state):
         lbl, _, it = state

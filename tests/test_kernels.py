@@ -249,6 +249,12 @@ def test_sgbm_aggregate_pallas_matches_xla(rng, H, W, D, nd, bound):
         C, 600, 2400, nd, cost_bound=bound, interpret=True
     ))
     np.testing.assert_array_equal(got, ref)
+    # layout knobs (the pipeline's dhw -> hdw fast path) are value-identical
+    got2 = np.asarray(sgbm_aggregate_pallas(
+        jnp.transpose(C, (2, 0, 1)), 600, 2400, nd, cost_bound=bound,
+        interpret=True, in_layout="dhw", out_layout="hdw",
+    ))
+    np.testing.assert_array_equal(np.transpose(got2, (0, 2, 1)), ref)
 
 
 @pytest.mark.parametrize("budget", [1, 250_000])
@@ -269,3 +275,98 @@ def test_sgbm_aggregate_pallas_split_launch(rng, monkeypatch, budget):
         C, 600, 2400, 8, cost_bound=9450, interpret=True
     ))
     np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("H,W", [(24, 40), (17, 150), (130, 33)])
+def test_segmin_sweep_pallas_matches_xla(rng, H, W):
+    """The VMEM-resident segmented min-scan sweep (both directions fused)
+    must equal the associative_scan formulation used by filter_speckles."""
+    from jax import lax
+
+    from primestereomatch_tpu.kernels.speckle_pallas import segmin_sweep_pallas
+
+    m = jnp.asarray(rng.integers(0, H * W, (H, W)).astype(np.int32))
+    conn_lf = jnp.asarray(rng.random((H, W)) < 0.7).at[:, 0].set(False)
+    conn_up = jnp.asarray(rng.random((H, W)) < 0.7).at[0].set(False)
+
+    def comb(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, jnp.minimum(av, bv), bv), af & bf
+
+    # rows: fwd with conn_lf; bwd = fwd on the flipped image with
+    # conn_rt = shift(conn_lf) — the filter_speckles formulation
+    conn_rt = jnp.concatenate(
+        [conn_lf[:, 1:], jnp.zeros_like(conn_lf[:, :1])], axis=1
+    )
+    r, _ = lax.associative_scan(
+        comb,
+        (jnp.stack([m, m[:, ::-1]]), jnp.stack([conn_lf, conn_rt[:, ::-1]])),
+        axis=2,
+    )
+    want_rows = jnp.minimum(r[0], r[1][:, ::-1])
+    got_rows = segmin_sweep_pallas(m, conn_lf, axis=1, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_rows), np.asarray(want_rows))
+
+    conn_dn = jnp.concatenate(
+        [conn_up[1:], jnp.zeros_like(conn_up[:1])], axis=0
+    )
+    c, _ = lax.associative_scan(
+        comb,
+        (jnp.stack([m, m[::-1]]), jnp.stack([conn_up, conn_dn[::-1]])),
+        axis=1,
+    )
+    want_cols = jnp.minimum(c[0], c[1][::-1])
+    got_cols = segmin_sweep_pallas(m, conn_up, axis=0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_cols), np.asarray(want_cols))
+
+
+@pytest.mark.parametrize("H,W,D,k", [(20, 30, 16, 5), (16, 40, 8, 3)])
+def test_bt_block_cost_pallas_matches_op(rng, H, W, D, k):
+    """Fused Pallas BT+block-sum == the XLA op on the logical region;
+    padding lanes/rows are zero (scan-neutral for the aggregation)."""
+    from primestereomatch_tpu.kernels.sgbm_pallas import bt_block_cost_pallas
+    from primestereomatch_tpu.ops.sgbm import bt_block_cost, clipped_xderiv
+
+    l = jnp.asarray(rng.integers(0, 256, (H, W, 3), dtype=np.uint8))
+    r = jnp.asarray(rng.integers(0, 256, (H, W, 3), dtype=np.uint8))
+    lf = clipped_xderiv(l, 63)
+    rf = clipped_xderiv(r, 63)
+    bound = k * k * 3 * 2 * 63
+    want = np.asarray(bt_block_cost(lf, rf, D, k, cost_bound=bound,
+                                    feat_bound=126, out_layout="dhw"))
+    got = np.array(bt_block_cost_pallas(lf, rf, D, k, cost_bound=bound,
+                                        interpret=True))
+    assert got.dtype == want.dtype
+    np.testing.assert_array_equal(got[:, :H, :W], want)
+    got[:, :H, :W] = 0
+    assert (got == 0).all(), "padding must be zero (scan-neutral)"
+
+
+def test_sgbm_padded_cost_to_aggregate(rng):
+    """bt_block_cost_pallas's zero-padded volume through the aggregation
+    with logical_hw must equal the unpadded XLA pipeline exactly (the
+    zero padding is scan-neutral)."""
+    from primestereomatch_tpu.kernels.sgbm_pallas import (
+        bt_block_cost_pallas,
+        sgbm_aggregate_pallas,
+    )
+    from primestereomatch_tpu.ops.sgbm import aggregate, bt_block_cost, clipped_xderiv
+
+    H, W, D, k = 21, 43, 16, 5
+    l = jnp.asarray(rng.integers(0, 256, (H, W, 3), dtype=np.uint8))
+    r = jnp.asarray(rng.integers(0, 256, (H, W, 3), dtype=np.uint8))
+    lf, rf = clipped_xderiv(l, 63), clipped_xderiv(r, 63)
+    bound = k * k * 3 * 2 * 63
+    C_ref = bt_block_cost(lf, rf, D, k, cost_bound=bound, feat_bound=126)
+    want = np.transpose(
+        np.asarray(aggregate(C_ref.astype(jnp.int32), 600, 2400, 8,
+                             cost_bound=bound)),
+        (0, 2, 1),
+    )
+    Cp = bt_block_cost_pallas(lf, rf, D, k, cost_bound=bound, interpret=True)
+    got = np.asarray(sgbm_aggregate_pallas(
+        Cp, 600, 2400, 8, cost_bound=bound, interpret=True,
+        in_layout="dhw", out_layout="hdw", logical_hw=(H, W),
+    ))
+    np.testing.assert_array_equal(got, want)

@@ -57,6 +57,55 @@ def test_block_cost(pair):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("d,k", [(8, 5), (12, 3), (8, 1), (16, 5)])
+def test_bt_block_cost_fused(pair, d, k):
+    # the fused pipeline path (per-d-chunk separable window sum, int16
+    # writes) must equal the two-stage oracle composition exactly
+    l, r = pair
+    lf = oracle.clipped_xderiv(l, CAP)
+    rf = oracle.clipped_xderiv(r, CAP)
+    want = oracle.block_cost(oracle.bt_cost(lf, rf, d), k)
+    bound = k * k * 3 * 2 * CAP
+    got = np.asarray(
+        ops.bt_block_cost(jnp.asarray(lf), jnp.asarray(rf), d, k,
+                          cost_bound=bound, feat_bound=2 * CAP)
+    )
+    assert got.dtype == (np.int16 if bound < 2**15 else np.int32)
+    np.testing.assert_array_equal(got, want)
+    # int32 path (no bound supplied) identical too
+    got32 = np.asarray(ops.bt_block_cost(jnp.asarray(lf), jnp.asarray(rf), d, k))
+    np.testing.assert_array_equal(got32, want)
+    # the pipeline's (D, H, W) layout is a pure transpose of the same values
+    dhw = np.asarray(
+        ops.bt_block_cost(jnp.asarray(lf), jnp.asarray(rf), d, k,
+                          cost_bound=bound, feat_bound=2 * CAP,
+                          out_layout="dhw")
+    )
+    np.testing.assert_array_equal(np.transpose(dhw, (1, 2, 0)), want)
+
+
+def test_select_disparity_hdw_matches(pair):
+    l, r = pair
+    S = oracle.aggregate(
+        oracle.block_cost(
+            oracle.bt_cost(
+                oracle.clipped_xderiv(l, CAP), oracle.clipped_xderiv(r, CAP), D
+            ),
+            K,
+        ),
+        P1, P2, 8,
+    )
+    ref = np.asarray(
+        ops.select_disparity(jnp.asarray(S, jnp.int32), 10, 1, 0)
+    )
+    got = np.asarray(
+        ops.select_disparity_hdw(
+            jnp.asarray(np.transpose(S, (0, 2, 1)), jnp.int32), 10, 1, 0
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
 @pytest.mark.parametrize("ndirs", [3, 5, 8])
 def test_aggregate(pair, ndirs):
     l, r = pair
