@@ -327,20 +327,14 @@ def _bt_cost_kernel(
     l_f = l_ref[0:3].astype(jnp.int32)
     l_mn = l_ref[3:6].astype(jnp.int32)
     l_mx = l_ref[6:9].astype(jnp.int32)
-    r_mn = r_ref[0:3].astype(jnp.int32)
-    r_mx = r_ref[3:6].astype(jnp.int32)
-    r_f = r_ref[6:9].astype(jnp.int32)
 
-    # once per chunk: dynamic cyclic roll to d0 (per-j rolls are static)
-    def roll_d0(p):
-        return pltpu.roll(p, d0, axis=1)
-
-    r_mn0 = [roll_d0(r_mn[c]) for c in range(3)]
-    r_mx0 = [roll_d0(r_mx[c]) for c in range(3)]
-    r_f0 = [roll_d0(r_f[c]) for c in range(3)]
-    c_mn = [r_mn[c][:, 0:1] for c in range(3)]
-    c_mx = [r_mx[c][:, 0:1] for c in range(3)]
-    c_f = [r_f[c][:, 0:1] for c in range(3)]
+    # all nine right planes ride ONE (9*TI, Wp) vector: one widen, one
+    # left-edge column, one dynamic d0 roll, then one static roll + one
+    # masked select per d (vs 9 of each with per-plane math)
+    r_all = r_ref[:].astype(jnp.int32).reshape(9 * TI, Wp)
+    col0 = r_all[:, 0:1]
+    base = pltpu.roll(r_all, d0, axis=1)
+    lane9 = jax.lax.broadcasted_iota(jnp.int32, (9 * TI, Wp), 1)
 
     lo = k // 2
     row0 = h * TH  # global image row of output row 0
@@ -349,15 +343,15 @@ def _bt_cost_kernel(
 
     for j in range(DC):
         d = d0 + j
-        edge = lane < d
-        pc = jnp.zeros((TI, Wp), jnp.int32)
-        for c in range(3):
-            rm = jnp.where(edge, c_mn[c], _roll_static(r_mn0[c], j))
-            rM = jnp.where(edge, c_mx[c], _roll_static(r_mx0[c], j))
-            rf = jnp.where(edge, c_f[c], _roll_static(r_f0[c], j))
-            c1 = jnp.maximum(jnp.maximum(l_f[c] - rM, rm - l_f[c]), 0)
-            c2 = jnp.maximum(jnp.maximum(rf - l_mx[c], l_mn[c] - rf), 0)
-            pc = pc + jnp.minimum(c1, c2)
+        rolled = _roll_static(base, j) if j else base
+        # lanes x < d read the left-edge replicate (reference pad_l
+        # semantics); cyclic wrap junk only ever lands in those lanes
+        rv = jnp.where(lane9 < d, col0, rolled).reshape(9, TI, Wp)
+        rm, rM, rf = rv[0:3], rv[3:6], rv[6:9]
+        c1 = jnp.maximum(jnp.maximum(l_f - rM, rm - l_f), 0)
+        c2 = jnp.maximum(jnp.maximum(rf - l_mx, l_mn - rf), 0)
+        m3 = jnp.minimum(c1, c2)
+        pc = m3[0] + m3[1] + m3[2]
         # horizontal edge replicate: lanes >= W take column W-1
         pc = jnp.where(lane >= W, pc[:, W - 1 : W], pc)
         # vertical k-window sum (halo rows included in the block)
@@ -414,10 +408,12 @@ def bt_block_cost_pallas(
     if C != 3:
         raise ValueError("bt_block_cost_pallas expects 3-channel features")
     k = block_size
+    if k % 2 == 0:
+        raise ValueError("bt_block_cost_pallas needs an odd block_size")
     out_dt = jnp.int16 if (cost_bound is not None and cost_bound < 2**15) else jnp.int32
 
-    TH = 8
-    DC = min(64, max_dis)
+    TH = 16   # halo recompute = (TH + k - 1)/TH; 16 wastes ~25% vs 8's 100%
+    DC = min(32, max_dis)
     while max_dis % DC:
         DC //= 2
     GH = -(-H // TH)

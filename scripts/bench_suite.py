@@ -42,7 +42,6 @@ def main():
     from primestereomatch_tpu.models.sgbm_pipeline import stereo_sgbm_forward
     from primestereomatch_tpu.utils.datasets import load_dataset
 
-    rng = np.random.default_rng(0)
     results = []
 
     def record(name, seconds, unit="frames/sec/chip", scale=1.0):
@@ -55,6 +54,16 @@ def main():
     teddy = load_dataset("Teddy")
     l64 = jnp.asarray(teddy.left_f32)
     r64 = jnp.asarray(teddy.right_f32)
+
+    def tiled(img, hw):
+        # real-content large inputs: tile the Middlebury pair up to the
+        # target extent. Random noise is a pathological workload (it
+        # maximizes speckle-CC fragmentation and defeats every natural-
+        # image assumption); the reference only ever sees camera/dataset
+        # frames, so the large-size rows bench the same content class.
+        H, W = hw
+        reps = (H // img.shape[0] + 1, W // img.shape[1] + 1, 1)
+        return np.tile(img, reps)[:H, :W]
 
     # 1. golden: Teddy GIF d=64
     cfg = GIFConfig()
@@ -69,8 +78,8 @@ def main():
 
     # 3. HD720 GIF d=128
     try:
-        lh = jnp.asarray(rng.random((720, 1280, 3), dtype=np.float32))
-        rh = jnp.asarray(rng.random((720, 1280, 3), dtype=np.float32))
+        lh = jnp.asarray(tiled(teddy.left_f32, (720, 1280)))
+        rh = jnp.asarray(tiled(teddy.right_f32, (720, 1280)))
         cfg128 = GIFConfig(max_dis=128)
         fh = jax.jit(lambda a, b: stereo_gif_forward(a, b, cfg128))
         record("gif_hd720_1280x720_d128", bench(fh, (lh, rh), iters=5))
@@ -80,8 +89,8 @@ def main():
     # 4. 2K GIF d=256 (BASELINE 30fps target is for a v4-16 slice; this is
     #    the single-chip number)
     try:
-        l2k = jnp.asarray(rng.random((1242, 2208, 3), dtype=np.float32))
-        r2k = jnp.asarray(rng.random((1242, 2208, 3), dtype=np.float32))
+        l2k = jnp.asarray(tiled(teddy.left_f32, (1242, 2208)))
+        r2k = jnp.asarray(tiled(teddy.right_f32, (1242, 2208)))
         cfg256 = GIFConfig(max_dis=256)
         f2k = jax.jit(lambda a, b: stereo_gif_forward(a, b, cfg256))
         record("gif_2k_2208x1242_d256", bench(f2k, (l2k, r2k), iters=3))
@@ -113,8 +122,8 @@ def main():
         ("sgbm_2k_2208x1242_d256", (1242, 2208), 256, 3),
     ):
         try:
-            lu8 = jnp.asarray(rng.integers(0, 256, (*hw, 3), dtype=np.uint8))
-            ru8 = jnp.asarray(rng.integers(0, 256, (*hw, 3), dtype=np.uint8))
+            lu8 = jnp.asarray(tiled(teddy.left_bgr, hw))
+            ru8 = jnp.asarray(tiled(teddy.right_bgr, hw))
             scfg = SGBMConfig(num_disparities=nd)
             fsg = jax.jit(lambda a, b, c=scfg: stereo_sgbm_forward(a, b, c))
             record(name, bench(fsg, (lu8, ru8), iters=it))
