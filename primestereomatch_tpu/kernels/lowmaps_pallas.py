@@ -44,6 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 from primestereomatch_tpu.ops.guided_filter import _color_inverse_cov
 
 TH = 32  # output rows per tile
+DC_CAP = 4  # max disparity slices per grid step (tuning hook; auto-shrunk)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -221,7 +222,7 @@ def _fgf_low_maps_pallas_impl(
     # 128 in VMEM. Shrink DC until the estimate fits ~12 MB of the ~16 MB
     # core VMEM (at 2K/d=256 the poly-layout WT=1024 lanes overflow DC=4).
     lane = lambda x: _round_up(x, 128)  # noqa: E731
-    DC = min(4, D)
+    DC = min(DC_CAP, D)
     while D % DC:
         DC //= 2
     while DC > 1:

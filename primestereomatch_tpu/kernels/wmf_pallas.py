@@ -82,7 +82,11 @@ def _wmf_kernel(
 
     center = cshift[r][:, r : r + TILE_H, :]                 # (3, TH, TW)
 
-    # pass 1: window sweep; only cheap sublane (row) slices remain inside
+    # pass 1: window sweep; only cheap sublane (row) slices remain inside.
+    # disparities are stored int16 (exact for n_bins <= 256): the binary-
+    # search probes re-read dbuf log2(n_bins) times, so halving its
+    # footprint cuts the dominant pass-2 VMEM traffic (int8 would halve it
+    # again but this Mosaic target has no int8 vector compare)
     total = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     for oy in range(win):
         for ox in range(win):
@@ -94,7 +98,7 @@ def _wmf_kernel(
             dist2 = diff[0] * diff[0] + diff[1] * diff[1] + diff[2] * diff[2]
             w = jnp.exp(-dist2 * inv_two_sig2) * vq
             wbuf[o] = w
-            dbuf[o] = dq
+            dbuf[o] = dq.astype(jnp.int16)
             total = total + w
     half = total * 0.5
 
@@ -107,10 +111,12 @@ def _wmf_kernel(
         width //= 2
         mid = (ans + (width - 1))[None]
 
-        # probe in blocks of `win` offsets: fewer loop trips, vector reduce
+        # probe in blocks of `win` offsets: fewer loop trips, vector
+        # reduce; the compare widens to i32 (no 16-bit vector cmp here)
+        # but the VMEM reads stay 16-bit
         def cum_body(b, acc, mid=mid):
             wblk = wbuf[pl.ds(b * win, win)]
-            dblk = dbuf[pl.ds(b * win, win)]
+            dblk = dbuf[pl.ds(b * win, win)].astype(jnp.int32)
             inc = jnp.where(dblk <= mid, wblk, 0.0)
             return acc + jnp.sum(inc, axis=0)
 
@@ -193,7 +199,7 @@ def _wmf_pallas_batched(
             pltpu.VMEM((win, 3, eh_ew[0], TILE_W), jnp.float32),  # cshift
             pltpu.VMEM((win, eh_ew[0], TILE_W), jnp.float32),     # vshift
             pltpu.VMEM((win * win, TILE_H, TILE_W), jnp.float32),
-            pltpu.VMEM((win * win, TILE_H, TILE_W), jnp.int32),
+            pltpu.VMEM((win * win, TILE_H, TILE_W), jnp.int16),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,

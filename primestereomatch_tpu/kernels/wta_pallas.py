@@ -183,16 +183,29 @@ def _wta_kernel(
 # source columns (q + d_r, q + d_r + 1) with a per-phase weight, where
 # d_r in {-1, 0}. The generic kernel spends its time on a (CS~256)-deep
 # column matmul with only two weight-carrying rows; here the same values
-# come from THREE static lane slices of the row-interpolated slab (offsets
+# come from static lane slices of the row-interpolated slab (offsets
 # margin-1 / margin / margin+1) plus per-phase lerps — pure VPU work, so
 # the kernel goes from MXU-bound (~31 ms/view at 2K) to DMA-bound.
-# Output is phase-major (P, H, W/P), un-interleaved by XLA afterwards.
+# Output is phase-major (P, H, ceil(W/P)), un-interleaved by XLA afterwards.
+#
+# QUASI-polyphase (W % w != 0, P = W // w >= 2): the source tap for output
+# column P*q + r is q + e with a per-lane drift e in {-2, -1, 0} (the
+# floor-index walk of the non-integer ratio; -2 also covers the right-edge
+# sx clamp). Every Middlebury width hits this case (450 = 4*112 + 2,
+# 463 = 4*115 + 3, 447 = 4*111 + 3): the same kernel then reads FOUR
+# static windows (margin-2..margin+1) and picks the (a, b) tap pair per
+# lane from an e-table packed in the wx block — still zero matmuls. The
+# masked mode's tables come from the true `linear_coeffs` (clamps
+# included), so it needs no XLA edge fixup; the exact-integer mode keeps
+# the static per-phase slices (no selects) plus the ncl-column fixup.
+#
 # Layout contract: the maps tensor carries a POLY_MARGIN-lane left margin
 # (slice legality; values may be junk) and enough right padding that every
 # slab window [j*TWQ, j*TWQ + TWQ + 2*POLY_MARGIN) is in-bounds — the
 # layout `poly_col_params` computes and kernels/lowmaps_pallas.py emits
 # (out_wp/out_margin). Junk margin reads can only carry weight for the
-# first P//2 output columns, which are recomputed exactly in XLA.
+# first P//2 output columns of the exact-static mode, which are recomputed
+# exactly in XLA (masked mode never weights them: e >= -k at lane k).
 
 POLY_MARGIN = 128
 POLY_TILE_H = 32   # output rows per tile (tuned on v5e: 42.5 ms vs 44.7 at
@@ -202,18 +215,33 @@ POLY_TWQ_MAX = 768  # auto-tuned phase-column tile width search bound
 
 def poly_col_params(w: int, W: int, twq: int | None = None) -> dict | None:
     """Polyphase layout for logical low width w -> output width W, or None
-    when the polyphase column path does not apply. `twq` overrides the
-    phase-column tile width (multiple of 128); larger tiles amortize the
-    2*POLY_MARGIN slab-lane overhead per tile at the cost of VMEM."""
-    if W % w or W // w <= 1:
-        return None
+    when neither the exact nor the quasi polyphase column path applies.
+    `twq` overrides the phase-column tile width (multiple of 128); larger
+    tiles amortize the 2*POLY_MARGIN slab-lane overhead per tile at the
+    cost of VMEM. Returned dict: exact=True means the static per-phase
+    slice mode is valid (W == P*w); the (wx, e) tables are always filled
+    and drive the masked mode (valid for every accepted ratio)."""
     P = W // w
-    if P > 8:
+    if P <= 1 or P > 8:
         return None
+    from primestereomatch_tpu.ops.resize import linear_coeffs as _lc
+
+    wq = -(-W // P)                  # phase-column count (== w when exact)
+    sxW, fxW = _lc(w, W)
+    ks = np.arange(wq)
+    e_tab = np.zeros((P, wq), np.int32)
+    wx_tab = np.zeros((P, wq), np.float32)
+    for r in range(P):
+        j = np.minimum(P * ks + r, W - 1)
+        e_tab[r] = sxW[j].astype(np.int64) - ks
+        wx_tab[r] = fxW[j]
+    if e_tab.min() < -2 or e_tab.max() > 0:
+        return None                  # drift beyond the 4 static windows
+    exact = W % w == 0
     if twq is not None:
         if twq % 128:
             raise ValueError(f"twq {twq} must be a multiple of 128")
-        twq = min(twq, _round_up(w, 128))
+        twq = min(twq, _round_up(wq, 128))
     else:
         # every tile DMAs CS = twq + 2*POLY_MARGIN slab lanes for twq
         # useful phase columns, so pick the width minimizing total slab
@@ -222,11 +250,11 @@ def poly_col_params(w: int, W: int, twq: int | None = None) -> dict | None:
         # 256 (three tiles, 3*512 lanes): measured 42.5 -> 29.4 ms/view
         twq = min(
             range(128, POLY_TWQ_MAX + 1, 128),
-            key=lambda t: (-(-w // t) * (t + 2 * POLY_MARGIN),
-                           -(-w // t) * t),
+            key=lambda t: (-(-wq // t) * (t + 2 * POLY_MARGIN),
+                           -(-wq // t) * t),
         )
-        twq = min(twq, _round_up(w, 128))
-    ntxq = -(-w // twq)
+        twq = min(twq, _round_up(wq, 128))
+    ntxq = -(-wq // twq)
     # maps width: margin + data, with every slab window in-bounds
     wp = ntxq * twq + POLY_MARGIN
     deltas = tuple(
@@ -235,6 +263,7 @@ def poly_col_params(w: int, W: int, twq: int | None = None) -> dict | None:
     return {
         "P": P, "TWQ": twq, "ntxq": ntxq, "out_wp": wp,
         "margin": POLY_MARGIN, "deltas": deltas, "ncl": P // 2,
+        "wq": wq, "exact": exact, "e": e_tab, "wx": wx_tab,
     }
 
 
@@ -243,7 +272,8 @@ def _wta_kernel_poly(
     maps_hbm, guide_blk, ryw_blk, wx_blk, out_ref,
     slab, sem,
     *, D: int, DC: int, RS: int, CS: int, P: int, TWQ: int, TH: int,
-    deltas: tuple, mm_precision=jax.lax.Precision.HIGHEST,
+    deltas: tuple, masked: bool = False,
+    mm_precision=jax.lax.Precision.HIGHEST,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -291,16 +321,26 @@ def _wta_kernel_poly(
         # Mosaic schedules it worse than the (TH, CS)-minor layout below
         rowed = jnp.transpose(rowed, (1, 2, 0, 3))  # (4, DC, TH, CS)
         M = POLY_MARGIN
-        # the three source-lane windows every phase lerp draws from
+        # the static source-lane windows every phase lerp draws from
         sA = rowed[..., M - 1 : M - 1 + TWQ]
         sB = rowed[..., M : M + TWQ]
         sC = rowed[..., M + 1 : M + 1 + TWQ]
+        sZ = rowed[..., M - 2 : M - 2 + TWQ] if masked else None
 
         d_glob = c * DC + jax.lax.broadcasted_iota(jnp.int32, (DC, 1, 1), 0)
         mins, args_ = [], []
         for r in range(P):
-            a, b = (sA, sB) if deltas[r] == -1 else (sB, sC)
             wx = wx_blk[0, r, :][None, None, :]  # (1, 1, TWQ)
+            if masked:
+                # per-lane drift e in {-2, -1, 0} from the packed table:
+                # tap pair (a, b) = (src[k+e], src[k+e+1])
+                ei = wx_blk[0, 8 + r, :][None, None, :]
+                mZ = ei <= -1.5
+                mA = ei <= -0.5
+                a = jnp.where(mZ, sZ, jnp.where(mA, sA, sB))
+                b = jnp.where(mZ, sA, jnp.where(mA, sB, sC))
+            else:
+                a, b = (sA, sB) if deltas[r] == -1 else (sB, sC)
             q4 = a * (1.0 - wx) + b * wx         # (4, DC, TH, TWQ)
             q = (
                 q4[0] * guide_blk[0, r]
@@ -382,7 +422,11 @@ def fgf_wta_pallas_maps(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("logical_hw", "out_hw", "d_chunk", "interpret")
+    jax.jit,
+    static_argnames=(
+        "logical_hw", "out_hw", "d_chunk", "poly", "tile_h", "poly_twq",
+        "interpret",
+    ),
 )
 def fgf_wta_pallas_maps_batched(
     guide: jax.Array,          # (B, H, W, 3) float32
@@ -391,17 +435,31 @@ def fgf_wta_pallas_maps_batched(
     logical_hw: tuple[int, int],
     out_hw: tuple[int, int],
     d_chunk: int = 32,
+    poly: bool = False,        # polyphase column layout (see poly_col_params)
+    tile_h: int | None = None,
+    poly_twq: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Batch-folded generic-kernel WTA: ONE pallas_call for the whole
-    batch. Frame b's row tiles are grid rows b*nty..(b+1)*nty-1 and its
-    slab row starts carry the b*HPf offset, so the kernel and block specs
-    are identical to the single-frame launch (generic column-matmul
-    variant; the polyphase layout keeps per-frame dispatch). Returns
+    """Batch-folded WTA: ONE pallas_call for the whole batch. Frame b's
+    row tiles are grid rows b*nty..(b+1)*nty-1 and its slab row starts
+    carry the b*HPf offset, so the kernel and block specs are identical to
+    the single-frame launch. poly=True selects the polyphase column
+    variant (always in masked-table mode when batched — exact for both
+    integer and quasi ratios, no edge fixup); the maps must then be in the
+    poly layout (lowmaps out_wp/out_margin from poly_col_params). Returns
     (B, H, W) uint8 disparities."""
     B, H, W = guide.shape[0], *out_hw
     h, w = logical_hw
     D = maps.shape[1]
+    if poly:
+        pp = poly_col_params(w, W, twq=poly_twq)
+        if pp is None:
+            raise ValueError(f"polyphase WTA does not apply to {w}->{W}")
+        DCp = min(d_chunk, D)
+        if D % DCp:
+            raise ValueError(f"D={D} not divisible by chunk {DCp}")
+        return _wta_poly_run(guide, maps, h, w, out_hw, DCp, pp, interpret,
+                             tile_h=tile_h)
     DC = min(d_chunk, D)
     if D % DC:
         raise ValueError(f"D={D} not divisible by chunk {DC}")
@@ -517,80 +575,142 @@ def _poly_plan_dc(D: int, dc_req: int, RS: int, CS: int, TH: int,
 
 def _wta_poly_run(guide, maps, h, w, out_hw, DC, pp, interpret, tile_h=None,
                   mm_precision="highest"):
+    """Single-frame OR batch-folded polyphase WTA launch.
+
+    guide (H, W, 3) + maps (4, D, HPf, WPm) run one frame; guide
+    (B, H, W, 3) + maps (4, D, B*HPf, WPm) fold the batch onto the
+    row-tile grid axis (one pallas_call, same kernel — the per-tile slab
+    row starts carry the b*HPf offset, exactly like the generic batched
+    launch). Returns (H, W) / (B, H, W) uint8.
+
+    Mode: exact single-frame keeps the static per-phase slices + ncl-column
+    XLA fixup; quasi ratios and every batched launch use the masked
+    per-lane tap select, whose (wx, e) tables are the true linear_coeffs
+    values everywhere (clamped edges included) — no fixup needed."""
     H, W = out_hw
-    P, TWQ, ntxq = pp["P"], pp["TWQ"], pp["ntxq"]
+    P, TWQ, ntxq, wq = pp["P"], pp["TWQ"], pp["ntxq"], pp["wq"]
     margin, deltas, ncl = pp["margin"], pp["deltas"], pp["ncl"]
-    TH = tile_h or POLY_TILE_H
+    batched = guide.ndim == 4
+    B = guide.shape[0] if batched else 1
+    if not batched:
+        guide = guide[None]
+    masked = (not pp["exact"]) or batched
     D = maps.shape[1]
-    hp = _round_up(H, TH)
-    nty = hp // TH
     wq_p = ntxq * TWQ
     CS = TWQ + 2 * margin
     want_w = margin + pp["out_wp"]
 
-    # periodicity sanity: the static in-kernel slices assume
-    # sx[P*k + r] == k + deltas[r] away from the clamped edges
-    sxW, fxW = linear_coeffs(w, W)
-    ks = np.arange(1, w - 1)
-    for r in range(P):
-        if not np.array_equal(sxW[P * ks + r], ks + deltas[r]):
-            raise ValueError(f"column scale {w}->{W} is not phase-periodic")
+    if not masked:
+        # periodicity sanity: the static in-kernel slices assume
+        # sx[P*k + r] == k + deltas[r] away from the clamped edges
+        sxW, _ = linear_coeffs(w, W)
+        ks = np.arange(1, w - 1)
+        for r in range(P):
+            if not np.array_equal(sxW[P * ks + r], ks + deltas[r]):
+                raise ValueError(f"column scale {w}->{W} is not phase-periodic")
 
-    sy, fy = linear_coeffs(h, H)
-    sy = np.concatenate([sy, np.full(hp - H, sy[-1])])
-    fy = np.concatenate([fy, np.full(hp - H, fy[-1], np.float32)])
-    span_r = int((sy[np.minimum(np.arange(nty) * TH + TH - 1, hp - 1)]
-                  - (sy[np.arange(nty) * TH] // 8) * 8).max()) + 2
-    RS = _round_up(8 + span_r, 8)
-    row_start = ((sy[np.arange(nty) * TH] // 8) * 8).astype(np.int32)
+    def _row_plan(TH_c):
+        hp_c = _round_up(H, TH_c)
+        nty_c = hp_c // TH_c
+        sy_, fy_ = linear_coeffs(h, H)
+        sy_ = np.concatenate([sy_, np.full(hp_c - H, sy_[-1])])
+        fy_ = np.concatenate([fy_, np.full(hp_c - H, fy_[-1], np.float32)])
+        span = int((sy_[np.minimum(np.arange(nty_c) * TH_c + TH_c - 1, hp_c - 1)]
+                    - (sy_[np.arange(nty_c) * TH_c] // 8) * 8).max()) + 2
+        RS_c = _round_up(8 + span, 8)
+        rs0 = ((sy_[np.arange(nty_c) * TH_c] // 8) * 8).astype(np.int32)
+        return hp_c, nty_c, sy_, fy_, RS_c, rs0
+
+    if tile_h is not None:
+        TH = tile_h
+    elif interpret:
+        TH = POLY_TILE_H
+    else:
+        # per-grid-step launch/DMA-wait latency dominates at small sizes:
+        # pick the tile height minimizing total sequential (cell x chunk)
+        # steps under the VMEM plan (2K keeps 32, Teddy-size picks 128)
+        def _steps(TH_c):
+            _, nty_c, _, _, RS_c, _ = _row_plan(TH_c)
+            DC_c = _poly_plan_dc(D, DC, RS_c, CS, TH_c, TWQ, P)
+            return (nty_c * ntxq * (D // DC_c), TH_c)
+
+        TH = min((32, 64, 128), key=_steps)
+
+    hp, nty, sy, fy, RS, row_start = _row_plan(TH)
     DC = _poly_plan_dc(D, DC, RS, CS, TH, TWQ, P) if not interpret else DC
 
-    HPm, WPm = maps.shape[2], maps.shape[3]
+    HPt, WPm = maps.shape[2], maps.shape[3]
+    if HPt % B:
+        raise ValueError("maps rows not divisible by batch")
+    HPm = HPt // B                                    # rows per frame
     if WPm != want_w:
         # plain-layout maps (tuple entry): bring into the poly layout
         maps = jnp.pad(
             maps,
             ((0, 0), (0, 0), (0, 0), (margin, max(0, want_w - WPm - margin))),
         )[..., :want_w]
-        HPm, WPm = maps.shape[2], maps.shape[3]
+        WPm = maps.shape[3]
     need_h = int(row_start.max()) + RS
     if HPm < need_h:
-        maps = jnp.pad(maps, ((0, 0), (0, 0), (0, need_h - HPm), (0, 0)))
-        HPm = need_h
+        if batched:
+            # per-frame padding is impossible post-fold; clamping the
+            # aligned window starts is exact instead (all weight-carrying
+            # rows sy..sy+1 < h <= HPm stay covered since RS >= span+8)
+            if HPm < RS:
+                raise ValueError(
+                    f"maps frame rows {HPm} < slab window {RS} — feed the "
+                    "pre-padded lowmaps batched output"
+                )
+        else:
+            maps = jnp.pad(maps, ((0, 0), (0, 0), (0, need_h - HPm), (0, 0)))
+            HPm = need_h
     row_start = np.minimum(row_start, HPm - RS).astype(np.int32)
     ry_rel = (sy - np.repeat(row_start, TH)).astype(np.float32)
+    row_start_b = (
+        np.tile(row_start, B)
+        + np.repeat(np.arange(B, dtype=np.int32) * HPm, nty)
+    ).astype(np.int32)
 
     ryw = np.zeros((nty, TH, 128), np.float32)
     ryw[:, :, 0] = ry_rel.reshape(nty, TH)
     ryw[:, :, 1] = fy.reshape(nty, TH)
+    ryw = np.tile(ryw, (B, 1, 1))
 
-    wx = np.zeros((ntxq, 8, TWQ), np.float32)
+    # packed per-tile wx/e tables: rows 0..P-1 hold the lerp weights,
+    # rows 8..8+P-1 the per-lane drift e (floats; padding lanes get the
+    # clamped last-column values, outputs there are sliced off)
+    wxe = np.zeros((ntxq, 16, TWQ), np.float32)
+    ks_p = np.arange(wq_p)
+    sxW, fxW = linear_coeffs(w, W)
     for r in range(P):
-        idx = P * np.arange(wq_p) + r
-        wx[:, r, :] = fxW[np.minimum(idx, W - 1)].reshape(ntxq, TWQ)
+        j = np.minimum(P * ks_p + r, W - 1)
+        wxe[:, r, :] = fxW[j].reshape(ntxq, TWQ)
+        e_r = np.clip(sxW[j].astype(np.int64) - ks_p, -2, 0)
+        wxe[:, 8 + r, :] = e_r.reshape(ntxq, TWQ).astype(np.float32)
 
-    # guide in phase-major column layout (3, P, hp, wq_p)
-    gp = jnp.moveaxis(guide, -1, 0)
-    gp = jnp.pad(gp, ((0, 0), (0, hp - H), (0, 0)))
-    gp = gp.reshape(3, hp, w, P)
-    gp = jnp.transpose(gp, (0, 3, 1, 2))
-    gp = jnp.pad(gp, ((0, 0), (0, 0), (0, 0), (0, wq_p - w)))
+    # guide in phase-major column layout (3, P, B*hp, wq_p); columns pad
+    # to wq*P first (quasi widths are not P-divisible)
+    gp = jnp.moveaxis(guide, -1, 1)                       # (B, 3, H, W)
+    gp = jnp.pad(gp, ((0, 0), (0, 0), (0, hp - H), (0, wq * P - W)))
+    gp = gp.reshape(B, 3, hp, wq, P)
+    gp = jnp.transpose(gp, (1, 4, 0, 2, 3)).reshape(3, P, B * hp, wq)
+    gp = jnp.pad(gp, ((0, 0), (0, 0), (0, 0), (0, wq_p - wq)))
 
     kernel = functools.partial(
         _wta_kernel_poly, D=D, DC=DC, RS=RS, CS=CS, P=P, TWQ=TWQ, TH=TH,
-        deltas=deltas,
+        deltas=deltas, masked=masked,
         # Mosaic supports only HIGHEST (6-pass f32) and DEFAULT (bf16) dots
         mm_precision={"highest": jax.lax.Precision.HIGHEST,
                       "default": jax.lax.Precision.DEFAULT}[mm_precision],
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nty, ntxq),
+        grid=(B * nty, ntxq),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                        # maps
             pl.BlockSpec((3, P, TH, TWQ), lambda i, j, *_: (0, 0, i, j)),
             pl.BlockSpec((1, TH, 128), lambda i, j, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 8, TWQ), lambda i, j, *_: (j, 0, 0)),
+            pl.BlockSpec((1, 16, TWQ), lambda i, j, *_: (j, 0, 0)),
         ],
         out_specs=pl.BlockSpec((P, TH, TWQ), lambda i, j, *_: (0, i, j)),
         scratch_shapes=[
@@ -601,33 +721,40 @@ def _wta_poly_run(guide, maps, h, w, out_hw, DC, pp, interpret, tile_h=None,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((P, hp, wq_p), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((P, B * hp, wq_p), jnp.int32),
         interpret=interpret,
-    )(jnp.asarray(row_start), maps, gp, jnp.asarray(ryw), jnp.asarray(wx))
+    )(jnp.asarray(row_start_b), maps, gp, jnp.asarray(ryw), jnp.asarray(wxe))
 
-    disp = jnp.transpose(out[:, :H, :w], (1, 2, 0)).reshape(H, W)
+    out = out.reshape(P, B, hp, wq_p)
+    disp = jnp.transpose(out[:, :, :H, :wq], (1, 2, 3, 0))
+    disp = disp.reshape(B, H, wq * P)[:, :, :W]
 
-    # left-edge fixup: output cols J < ncl have clamped source col 0 but
-    # the static phase slices read the (junk) margin — recompute them
-    # exactly (same two-term lerps and combine order as the kernel)
-    col0 = maps[:, :, :, margin]                        # (4, D, HPm)
-    sy_j = jnp.asarray(sy[:H])
-    fy_j = jnp.asarray(fy[:H])
-    r0v = jnp.take(col0, sy_j, axis=-1)
-    r1v = jnp.take(col0, jnp.minimum(sy_j + 1, HPm - 1), axis=-1)
-    qm = r0v * (1.0 - fy_j) + r1v * fy_j                # (4, D, H)
-    d_mask = (jnp.arange(D) == 0)[:, None]
-    for J in range(ncl):
-        g = guide[:H, J, :]                             # (H, 3)
-        qJ = (
-            qm[0] * g[:, 0][None]
-            + qm[1] * g[:, 1][None]
-            + qm[2] * g[:, 2][None]
-            + qm[3]
-        )
-        qJ = jnp.where(d_mask, jnp.inf, qJ)
-        disp = disp.at[:, J].set(jnp.argmin(qJ, axis=0).astype(jnp.int32))
-    return disp.astype(jnp.uint8)
+    if not masked:
+        # left-edge fixup (exact-static mode only): output cols J < ncl
+        # have clamped source col 0 but the static phase slices read the
+        # (junk) margin — recompute them exactly (same two-term lerps and
+        # combine order as the kernel)
+        col0 = maps[:, :, :, margin]                    # (4, D, HPm)
+        sy_j = jnp.asarray(sy[:H])
+        fy_j = jnp.asarray(fy[:H])
+        r0v = jnp.take(col0, sy_j, axis=-1)
+        r1v = jnp.take(col0, jnp.minimum(sy_j + 1, HPm - 1), axis=-1)
+        qm = r0v * (1.0 - fy_j) + r1v * fy_j            # (4, D, H)
+        d_mask = (jnp.arange(D) == 0)[:, None]
+        d0 = disp[0]
+        for J in range(ncl):
+            g = guide[0, :H, J, :]                      # (H, 3)
+            qJ = (
+                qm[0] * g[:, 0][None]
+                + qm[1] * g[:, 1][None]
+                + qm[2] * g[:, 2][None]
+                + qm[3]
+            )
+            qJ = jnp.where(d_mask, jnp.inf, qJ)
+            d0 = d0.at[:, J].set(jnp.argmin(qJ, axis=0).astype(jnp.int32))
+        disp = d0[None]
+    disp = disp.astype(jnp.uint8)
+    return disp if batched else disp[0]
 
 
 def _fgf_wta_pallas_impl(

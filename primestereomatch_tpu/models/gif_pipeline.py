@@ -119,46 +119,59 @@ def stereo_gif_forward(
     if wta_impl == "pallas" and cfg.max_dis % min(32, cfg.max_dis) == 0:
         # fully fused TPU path: the low-res (a, b) chain runs in one Pallas
         # kernel emitting the maps in the WTA kernel's padded layout — the
-        # maps are written once and DMA'd once (kernels/lowmaps_pallas.py)
+        # maps are written once and DMA'd once (kernels/lowmaps_pallas.py).
+        # The two VIEWS fold into one launch per stage (batch-of-2 on the
+        # row-tile grid axis) — halves the kernel dispatch count, bitwise-
+        # equal to per-view. Polyphase-eligible column ratios (exact AND
+        # the quasi Middlebury widths) take the matmul-free poly variant.
         from primestereomatch_tpu.kernels.lowmaps_pallas import (
-            fgf_low_maps_pallas,
             fgf_low_maps_pallas_batched,
         )
         from primestereomatch_tpu.kernels.wta_pallas import (
-            fgf_wta_pallas_maps,
             fgf_wta_pallas_maps_batched,
             poly_col_params,
         )
 
         h, w = lcv_low.shape[-2:]
-        # exact integer column upscale -> polyphase WTA kernel (elementwise
-        # lerps instead of the CS-deep column matmul; DMA-bound not MXU-bound)
         pp = poly_col_params(w, W)
         dc = min(32, cfg.max_dis)
-        if pp is None:
-            # generic-kernel shapes: fold the two VIEWS into one launch per
-            # stage (batch-of-2 on the row-tile grid axis) — halves the
-            # per-frame kernel dispatch count, bitwise-equal to per-view
-            g2 = jnp.stack([l_img, r_img])
-            p2 = jnp.stack([lcv_low, rcv_low])
-            maps2 = fgf_low_maps_pallas_batched(
-                g2, p2, radius=cfg.gif_radius, eps=cfg.gif_eps, subsample=s,
+        if pp is not None and pp["exact"]:
+            # exact integer ratios (2K/HD720/ZED): per-view static poly
+            # dispatch — the view fold's jnp.stack copies cost more than
+            # the saved launch at these sizes (measured +2 ms at 2K)
+            from primestereomatch_tpu.kernels.lowmaps_pallas import (
+                fgf_low_maps_pallas,
             )
-            d2 = fgf_wta_pallas_maps_batched(
-                g2, maps2, (h, w), (H, W), d_chunk=dc,
+            from primestereomatch_tpu.kernels.wta_pallas import (
+                fgf_wta_pallas_maps,
             )
-            l_disp, r_disp = d2[0], d2[1]
-        else:
+
             lowm = functools.partial(
                 fgf_low_maps_pallas, radius=cfg.gif_radius, eps=cfg.gif_eps,
                 subsample=s,
                 out_wp=pp["out_wp"], out_margin=pp["margin"],
             )
-            wta = functools.partial(
-                fgf_wta_pallas_maps, d_chunk=dc, poly=True,
-            )
+            wta = functools.partial(fgf_wta_pallas_maps, d_chunk=dc, poly=True)
             l_disp = wta(l_img, lowm(l_img, lcv_low), (h, w), (H, W))
             r_disp = wta(r_img, lowm(r_img, rcv_low), (h, w), (H, W))
+        else:
+            # small/odd shapes: fold the two VIEWS into one launch per
+            # stage; quasi ratios take the masked poly variant, the rest
+            # the generic banded-matmul kernel
+            g2 = jnp.stack([l_img, r_img])
+            p2 = jnp.stack([lcv_low, rcv_low])
+            lw_kw = (
+                {} if pp is None
+                else {"out_wp": pp["out_wp"], "out_margin": pp["margin"]}
+            )
+            maps2 = fgf_low_maps_pallas_batched(
+                g2, p2, radius=cfg.gif_radius, eps=cfg.gif_eps, subsample=s,
+                **lw_kw,
+            )
+            d2 = fgf_wta_pallas_maps_batched(
+                g2, maps2, (h, w), (H, W), d_chunk=dc, poly=pp is not None,
+            )
+            l_disp, r_disp = d2[0], d2[1]
     else:
         low = functools.partial(
             fgf_low_maps, radius=cfg.gif_radius, eps=cfg.gif_eps, subsample=s
@@ -266,57 +279,38 @@ def stereo_gif_forward_batch(
 
     if impl == "pallas":
         from primestereomatch_tpu.kernels.lowmaps_pallas import (
-            fgf_low_maps_pallas,
             fgf_low_maps_pallas_batched,
         )
         from primestereomatch_tpu.kernels.wta_pallas import (
-            fgf_wta_pallas_maps,
             fgf_wta_pallas_maps_batched,
             poly_col_params,
         )
 
         dc = min(32, cfg.max_dis)
         pp = poly_col_params(w, W)
-        if pp is None:
-            # generic-kernel shapes: ONE folded pallas_call per stage for
-            # all 2B views (frames on the row-tile grid axis) — per-frame
-            # kernel dispatch is what caps small-image batch fps
-            g_all = jnp.concatenate([l_imgs, r_imgs])
-            p_all = jnp.concatenate([lcv, rcv])
-            maps = fgf_low_maps_pallas_batched(
-                g_all, p_all, radius=cfg.gif_radius, eps=cfg.gif_eps,
-                subsample=s,
-            )
-            d_all = fgf_wta_pallas_maps_batched(
-                g_all, maps, (h, w), (H, W), d_chunk=dc,
-            )
-            if run_postprocess:
-                # joint_wmf_pallas's custom_vmap lowers to one batched call
-                d_all = jax.vmap(lambda d, i: _wmf_exact(d, i, cfg))(
-                    d_all, g_all
-                )
-            return d_all[:B], d_all[B:]
-
-        lowm = functools.partial(
-            fgf_low_maps_pallas, radius=cfg.gif_radius, eps=cfg.gif_eps,
-            subsample=s,
-            out_wp=pp["out_wp"], out_margin=pp["margin"],
+        # ONE folded pallas_call per stage for all 2B views (frames on the
+        # row-tile grid axis) — per-frame kernel dispatch is what caps
+        # small-image batch fps. Polyphase-eligible column ratios (incl.
+        # the quasi Middlebury widths) take the matmul-free poly variant.
+        g_all = jnp.concatenate([l_imgs, r_imgs])
+        p_all = jnp.concatenate([lcv, rcv])
+        lw_kw = (
+            {} if pp is None
+            else {"out_wp": pp["out_wp"], "out_margin": pp["margin"]}
         )
-        wtp = functools.partial(
-            fgf_wta_pallas_maps, d_chunk=dc, poly=True,
+        maps = fgf_low_maps_pallas_batched(
+            g_all, p_all, radius=cfg.gif_radius, eps=cfg.gif_eps,
+            subsample=s, **lw_kw,
         )
-
-        def frame(args):
-            li, ri, lc, rc = args
-            ld = wtp(li, lowm(li, lc), (h, w), (H, W))
-            rd = wtp(ri, lowm(ri, rc), (h, w), (H, W))
-            if run_postprocess:
-                ld = _wmf_exact(ld, li, cfg)
-                rd = _wmf_exact(rd, ri, cfg)
-            return ld, rd
-
-        l_disp, r_disp = jax.lax.map(frame, (l_imgs, r_imgs, lcv, rcv))
-        return l_disp, r_disp
+        d_all = fgf_wta_pallas_maps_batched(
+            g_all, maps, (h, w), (H, W), d_chunk=dc, poly=pp is not None,
+        )
+        if run_postprocess:
+            # joint_wmf_pallas's custom_vmap lowers to one batched call
+            d_all = jax.vmap(lambda d, i: _wmf_exact(d, i, cfg))(
+                d_all, g_all
+            )
+        return d_all[:B], d_all[B:]
 
     up_impl = cfg.upsample_impl
     if up_impl == "auto":

@@ -208,8 +208,10 @@ def test_batched_fold_matches_per_frame(rng):
         poly_col_params,
     )
 
-    B, H, W, D, s = 3, 60, 90, 8, 4
-    h, w = H // s, W // s
+    B, H, W, D, s = 3, 60, 90, 8, 2
+    # deliberately NOT the H//s grid: w=48 gives a sub-2x column ratio, the
+    # one shape class the (quasi-)polyphase variant cannot take
+    h, w = 30, 48
     assert poly_col_params(w, W) is None  # generic-kernel shape
     g = jnp.asarray(rng.random((B, H, W, 3)).astype(np.float32))
     p = jnp.asarray(rng.random((B, D, h, w)).astype(np.float32))
@@ -227,6 +229,67 @@ def test_batched_fold_matches_per_frame(rng):
         )
         disp_i = np.asarray(fgf_wta_pallas_maps(
             g[i], maps_i, (h, w), (H, W), d_chunk=4, interpret=True
+        ))
+        np.testing.assert_array_equal(disp_b[i], disp_i)
+
+
+@pytest.mark.parametrize("H,W,D,s", [(96, 450, 16, 4), (64, 447, 8, 4)])
+def test_wta_quasi_poly_matches_generic(rng, H, W, D, s):
+    """QUASI-polyphase column WTA (per-lane masked tap select over the
+    four static windows) must be EXACTLY equal to the generic banded-
+    matmul kernel at the non-integer Middlebury ratios: 450 = 4*112 + 2
+    (drift e in {-1, 0}) and 447 = 4*111 + 3 (drift reaches -2). The
+    masked tables come from the true linear_coeffs everywhere, so there
+    is no XLA edge fixup to cover — edges must match too. Also checks the
+    batch-folded poly launch (always masked mode) against per-frame."""
+    from primestereomatch_tpu.kernels.lowmaps_pallas import (
+        fgf_low_maps_pallas,
+        fgf_low_maps_pallas_batched,
+    )
+    from primestereomatch_tpu.kernels.wta_pallas import (
+        fgf_wta_pallas_maps,
+        fgf_wta_pallas_maps_batched,
+        poly_col_params,
+    )
+
+    h, w = H // s, W // s
+    pp = poly_col_params(w, W)
+    assert pp is not None and not pp["exact"] and pp["P"] == s
+    g = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+    p = jnp.asarray(rng.random((D, h, w)).astype(np.float32))
+    maps_plain = fgf_low_maps_pallas(g, p, 8, 1e-4, s, interpret=True)
+    ref = np.asarray(fgf_wta_pallas_maps(
+        g, maps_plain, (h, w), (H, W), d_chunk=min(8, D), interpret=True
+    ))
+    maps_poly = fgf_low_maps_pallas(
+        g, p, 8, 1e-4, s, out_wp=pp["out_wp"], out_margin=pp["margin"],
+        interpret=True,
+    )
+    got = np.asarray(fgf_wta_pallas_maps(
+        g, maps_poly, (h, w), (H, W), d_chunk=min(8, D), poly=True,
+        interpret=True,
+    ))
+    np.testing.assert_array_equal(got, ref)
+
+    B = 2
+    gb = jnp.asarray(rng.random((B, H, W, 3)).astype(np.float32))
+    pb = jnp.asarray(rng.random((B, D, h, w)).astype(np.float32))
+    maps_b = fgf_low_maps_pallas_batched(
+        gb, pb, 8, 1e-4, s, out_wp=pp["out_wp"], out_margin=pp["margin"],
+        interpret=True,
+    )
+    disp_b = np.asarray(fgf_wta_pallas_maps_batched(
+        gb, maps_b, (h, w), (H, W), d_chunk=min(8, D), poly=True,
+        interpret=True,
+    ))
+    for i in range(B):
+        maps_i = fgf_low_maps_pallas(
+            gb[i], pb[i], 8, 1e-4, s, out_wp=pp["out_wp"],
+            out_margin=pp["margin"], interpret=True,
+        )
+        disp_i = np.asarray(fgf_wta_pallas_maps(
+            gb[i], maps_i, (h, w), (H, W), d_chunk=min(8, D), poly=True,
+            interpret=True,
         ))
         np.testing.assert_array_equal(disp_b[i], disp_i)
 
