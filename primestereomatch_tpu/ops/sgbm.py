@@ -638,6 +638,15 @@ def filter_speckles(
 
     big = jnp.int32(H * W)
 
+    # everything below runs on TILE-ALIGNED padded planes (padding labels =
+    # big, padding conn = False, i.e. fully disconnected — it can never win
+    # a min or bridge segments). Padding ONCE here makes the per-sweep pads
+    # inside segmin_sweep_pallas identity no-ops: re-padding four 11 MB
+    # planes every sweep was ~half the per-sweep cost at 2K.
+    Hp = -(-H // 8) * 8
+    Wp = -(-W // 128) * 128
+    pad_hw = ((0, Hp - H), (0, Wp - W))
+
     def neighbors(lbl):
         up = jnp.concatenate([lbl[:1] * 0 + big, lbl[:-1]], axis=0)
         dn = jnp.concatenate([lbl[1:], lbl[:1] * 0 + big], axis=0)
@@ -657,6 +666,12 @@ def filter_speckles(
     conn_lf = conn_lf.at[:, 0].set(False)
     conn_rt = valid & jnp.roll(valid, -1, axis=1) & (jnp.abs(d - d_rt) <= max_diff)
     conn_rt = conn_rt.at[:, -1].set(False)
+
+    labels0 = jnp.pad(labels0, pad_hw, constant_values=H * W)
+    conn_up = jnp.pad(conn_up, pad_hw)
+    conn_dn = jnp.pad(conn_dn, pad_hw)
+    conn_lf = jnp.pad(conn_lf, pad_hw)
+    conn_rt = jnp.pad(conn_rt, pad_hw)
 
     def comb(a, b):
         # segmented min: flag True means "connected to the scan
@@ -725,6 +740,7 @@ def filter_speckles(
             return changed & (it < max_iters)
 
     labels, _, _ = lax.while_loop(cond, body, (labels0, jnp.bool_(True), 0))
+    labels = labels[:H, :W]
 
     areas = jnp.zeros(H * W + 1, jnp.int32).at[labels.reshape(-1)].add(
         valid.reshape(-1).astype(jnp.int32)
