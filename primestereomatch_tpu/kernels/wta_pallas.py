@@ -331,23 +331,39 @@ def _wta_kernel_poly(
         mins, args_ = [], []
         for r in range(P):
             wx = wx_blk[0, r, :][None, None, :]  # (1, 1, TWQ)
+
+            # combine-then-lerp: q = lerp(sum_m a_m*g_m, sum_m b_m*g_m).
+            # Algebraically equal to the per-map lerp-then-combine (the
+            # generic kernel's order) but ~25% fewer VPU ops: the guide
+            # combine collapses the 4 maps BEFORE the column lerp (and
+            # before the masked tap selects, which distribute over the
+            # elementwise combine since the drift e is per-lane, shared by
+            # all maps). Rounding differs in the last ulp, so knife-edge
+            # argmin ties may move vs the generic kernel (tie-tolerant
+            # tests; bench.py kernel_parity bounds the drift on hardware).
+            def comb(s4):
+                return (
+                    s4[0] * guide_blk[0, r]
+                    + s4[1] * guide_blk[1, r]
+                    + s4[2] * guide_blk[2, r]
+                    + s4[3]
+                )                                # (DC, TH, TWQ)
+
             if masked:
                 # per-lane drift e in {-2, -1, 0} from the packed table:
                 # tap pair (a, b) = (src[k+e], src[k+e+1])
                 ei = wx_blk[0, 8 + r, :][None, None, :]
                 mZ = ei <= -1.5
                 mA = ei <= -0.5
-                a = jnp.where(mZ, sZ, jnp.where(mA, sA, sB))
-                b = jnp.where(mZ, sA, jnp.where(mA, sB, sC))
+                cz, ca, cb, cc = comb(sZ), comb(sA), comb(sB), comb(sC)
+                a = jnp.where(mZ, cz, jnp.where(mA, ca, cb))
+                b = jnp.where(mZ, ca, jnp.where(mA, cb, cc))
             else:
-                a, b = (sA, sB) if deltas[r] == -1 else (sB, sC)
-            q4 = a * (1.0 - wx) + b * wx         # (4, DC, TH, TWQ)
-            q = (
-                q4[0] * guide_blk[0, r]
-                + q4[1] * guide_blk[1, r]
-                + q4[2] * guide_blk[2, r]
-                + q4[3]
-            )
+                a, b = (
+                    (comb(sA), comb(sB)) if deltas[r] == -1
+                    else (comb(sB), comb(sC))
+                )
+            q = a * (1.0 - wx) + b * wx          # (DC, TH, TWQ)
             q = jnp.where(d_glob == 0, jnp.inf, q)
             mins.append(jnp.min(q, axis=0))
             args_.append((c * DC + jnp.argmin(q, axis=0)).astype(jnp.int32))

@@ -132,10 +132,14 @@ def test_lowmaps_pallas_matches_jnp(rng, H, W, D, s):
 
 @pytest.mark.parametrize("H,W,D,s", [(128, 256, 16, 4), (96, 256, 8, 2), (64, 512, 8, 8), (120, 640, 16, 4)])
 def test_wta_poly_matches_matmul_kernel(rng, H, W, D, s):
-    """Polyphase column WTA (static lane slices + per-phase lerps) must be
-    EXACTLY equal to the generic banded-matmul kernel at exact integer
-    column upscaling — same two-term lerps, different dataflow. Covers the
-    left-edge XLA fixup columns and a non-multiple-of-TWQ width (640/4)."""
+    """Polyphase column WTA (static lane slices + per-phase lerps) vs the
+    generic banded-matmul kernel at exact integer column upscaling: the
+    poly kernel combines the maps with the guide BEFORE the column lerp
+    (algebraically equal, last-ulp rounding differs), so only knife-edge
+    argmin ties may differ — bounded mismatch rate, not bitwise. Covers
+    the left-edge XLA fixup columns and a non-multiple-of-TWQ width
+    (640/4). Tile-geometry variants of the poly kernel itself must stay
+    bitwise-identical (same arithmetic, different tiling)."""
     from primestereomatch_tpu.kernels.lowmaps_pallas import fgf_low_maps_pallas
     from primestereomatch_tpu.kernels.wta_pallas import (
         fgf_wta_pallas_maps,
@@ -160,13 +164,13 @@ def test_wta_poly_matches_matmul_kernel(rng, H, W, D, s):
         g, maps_poly, (h, w), (H, W), d_chunk=min(8, D), poly=True,
         interpret=True,
     ))
-    np.testing.assert_array_equal(got, ref)
+    assert (got != ref).mean() <= 1e-3
     # tuple-layout maps route through the same poly path (auto re-padding)
     got2 = np.asarray(fgf_wta_pallas_maps(
         g, maps_plain, (h, w), (H, W), d_chunk=min(8, D), poly=True,
         interpret=True,
     ))
-    np.testing.assert_array_equal(got2, ref)
+    np.testing.assert_array_equal(got2, got)
     # tunable tile geometry (tile_h / poly_twq) must not change results
     for th, twq in ((32, None), (None, 128), (64, 128)):
         pv = poly_col_params(w, W, twq=twq)
@@ -178,7 +182,7 @@ def test_wta_poly_matches_matmul_kernel(rng, H, W, D, s):
             g, maps_v, (h, w), (H, W), d_chunk=min(8, D), poly=True,
             tile_h=th, poly_twq=twq, interpret=True,
         ))
-        np.testing.assert_array_equal(got_v, ref)
+        np.testing.assert_array_equal(got_v, got)
 
 
 def test_lowmaps_pallas_vmap(rng):
@@ -236,12 +240,14 @@ def test_batched_fold_matches_per_frame(rng):
 @pytest.mark.parametrize("H,W,D,s", [(96, 450, 16, 4), (64, 447, 8, 4)])
 def test_wta_quasi_poly_matches_generic(rng, H, W, D, s):
     """QUASI-polyphase column WTA (per-lane masked tap select over the
-    four static windows) must be EXACTLY equal to the generic banded-
-    matmul kernel at the non-integer Middlebury ratios: 450 = 4*112 + 2
-    (drift e in {-1, 0}) and 447 = 4*111 + 3 (drift reaches -2). The
-    masked tables come from the true linear_coeffs everywhere, so there
-    is no XLA edge fixup to cover — edges must match too. Also checks the
-    batch-folded poly launch (always masked mode) against per-frame."""
+    four static windows) vs the generic banded-matmul kernel at the
+    non-integer Middlebury ratios: 450 = 4*112 + 2 (drift e in {-1, 0})
+    and 447 = 4*111 + 3 (drift reaches -2). The poly kernel combines the
+    maps with the guide BEFORE the column lerp, so only knife-edge argmin
+    ties may differ (bounded rate; same taps/weights — the masked tables
+    come from the true linear_coeffs everywhere, edges included). The
+    batch-folded poly launch (always masked mode) must stay bitwise-equal
+    to per-frame poly dispatch (identical arithmetic)."""
     from primestereomatch_tpu.kernels.lowmaps_pallas import (
         fgf_low_maps_pallas,
         fgf_low_maps_pallas_batched,
@@ -269,7 +275,7 @@ def test_wta_quasi_poly_matches_generic(rng, H, W, D, s):
         g, maps_poly, (h, w), (H, W), d_chunk=min(8, D), poly=True,
         interpret=True,
     ))
-    np.testing.assert_array_equal(got, ref)
+    assert (got != ref).mean() <= 1e-3
 
     B = 2
     gb = jnp.asarray(rng.random((B, H, W, 3)).astype(np.float32))
