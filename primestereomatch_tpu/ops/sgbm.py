@@ -541,15 +541,64 @@ def select_disparity_hdw(
     d_best = jnp.argmin(S, axis=1)                       # (H, W)
     s_best = jnp.min(S, axis=1)
 
-    d_idx = jnp.arange(D)[None, :, None]
-    far = jnp.abs(d_idx - d_best[:, None, :]) > 1
-    close_cost = S * (100 - uniqueness_ratio) < s_best[:, None, :] * 100
-    not_unique = jnp.any(far & close_cost, axis=1)
+    # Everything else the selection needs from the volume — the
+    # best-excluding-neighbours cost (uniqueness), the two sub-pixel
+    # neighbour costs, and the right-view diagonal argmin — comes out of
+    # ONE more chunked pass over S (the naive forms each re-read the
+    # 2.8 GB volume at 2K/d=256).
+    #
+    # rd(y, xr) = argmin_d S(y, d, xr + d), lowest d on ties. Rather than
+    # realigning every (H, W) cost plane by its own d (a per-plane lane
+    # rotate — ~37 ms of relayout at 2K), keep S unshifted and walk the
+    # diagonal by shifting the SMALL running (min, arg) pair one lane per
+    # d step: descending d, the running pair lives at lane x = xr + d, so
+    # the d -> d-1 transition is a single left shift (new[x] = old[x+1],
+    # BIG shifted in at the right edge), after which S[:, d-1, :]
+    # compares directly. `<=` makes the lower d win ties — identical to
+    # the ascending strict-< first-min rule. Chunked fori_loop: 16 planes
+    # per trip fuse into one kernel, so the running planes re-stream HBM
+    # D/16 times, not D times.
+    DCs = max(c for c in range(1, min(16, D) + 1) if D % c == 0)
+    dm_i = jnp.clip(d_best - 1, 0, D - 1)
+    dp_i = jnp.clip(d_best + 1, 0, D - 1)
 
-    is_m = d_idx == jnp.clip(d_best - 1, 0, D - 1)[:, None, :]
-    is_p = d_idx == jnp.clip(d_best + 1, 0, D - 1)[:, None, :]
-    s_m = jnp.min(jnp.where(is_m, S, _BIG), axis=1)
-    s_p = jnp.min(jnp.where(is_p, S, _BIG), axis=1)
+    def _trip(t, carry):
+        m, a, s_alt, s_m, s_p = carry
+        c0 = D - (t + 1) * DCs
+        blk = jax.lax.dynamic_slice_in_dim(S, c0, DCs, axis=1)
+        for k in range(DCs - 1, -1, -1):
+            plane = blk[:, k, :]
+            d_cur = c0 + k
+            # diagonal running pair (shifted coordinates)
+            m = jnp.pad(m[:, 1:], ((0, 0), (0, 1)), constant_values=_BIG)
+            a = jnp.pad(a[:, 1:], ((0, 0), (0, 1)))
+            take = plane <= m
+            m = jnp.where(take, plane, m)
+            a = jnp.where(take, d_cur, a)
+            # unshifted reductions off the same loaded plane:
+            # min over |d - d_best| > 1 (uniqueness), and the exact
+            # d_best -/+ 1 neighbour costs (clipped-index equality selects
+            # match exactly once, so overwrite == the masked min)
+            far = jnp.abs(d_cur - d_best) > 1
+            s_alt = jnp.where(far, jnp.minimum(s_alt, plane), s_alt)
+            s_m = jnp.where(d_cur == dm_i, plane, s_m)
+            s_p = jnp.where(d_cur == dp_i, plane, s_p)
+        return m, a, s_alt, s_m, s_p
+
+    big2 = jnp.full((H, W), _BIG, jnp.int32)
+    zero = jnp.zeros((H, W), jnp.int32)
+    run_min, rd, s_alt, s_m, s_p = jax.lax.fori_loop(
+        0, D // DCs, _trip, (big2, zero, big2, big2, big2)
+    )
+
+    # any_d [far & S_d*(100-u) < s_best*100] == s_alt*(100-u) < s_best*100
+    # (s_alt is the exact min over the far set; empty far set — possible
+    # only for D <= 3 — keeps s_alt at BIG, masked to False as the empty
+    # `any` would be)
+    not_unique = (s_alt < _BIG) & (
+        s_alt * (100 - uniqueness_ratio) < s_best * 100
+    )
+
     denom = s_m + s_p - 2 * s_best
     interior = (d_best > 0) & (d_best < D - 1) & (denom > 0)
     frac = jnp.where(
@@ -562,22 +611,19 @@ def select_disparity_hdw(
     )
     disp16 = (d_best.astype(jnp.int32) + min_disparity) * DISP_SCALE + frac
 
-    # right disparity: running strict-less (min, argmin) over ascending d
-    # keeps the first minimum — argmin's tie rule
-    run_min = jnp.full((H, W), _BIG, jnp.int32)
-    rd = jnp.zeros((H, W), jnp.int32)
-    for d in range(D):
-        cand = jnp.pad(S[:, d, d:], ((0, 0), (0, d)), constant_values=_BIG)
-        better = cand < run_min
-        run_min = jnp.where(better, cand, run_min)
-        rd = jnp.where(better, d, rd)
-
-    # rd sampled at x - d_best: D static shifts selected by d_best
+    # rd sampled at x - d_best: an 8-step barrel shift (one conditional
+    # static lane shift per bit of d_best) replaces the D masked-shift
+    # passes. Exact: after processing bits k..0, lane x holds
+    # rd[x - (d_best & mask)]; every intermediate index is >= x - d_best,
+    # so pixels with x - d_best >= 0 never read shifted-in padding (the
+    # rest are masked by the lr_bad edge terms below, same as before).
     x = jnp.arange(W)[None, :]
-    rd_at = jnp.zeros_like(rd)
-    for d in range(D):
-        rd_shift = jnp.pad(rd[:, : W - d], ((0, 0), (d, 0)))  # rd[x - d]
-        rd_at = jnp.where(d_best == d, rd_shift, rd_at)
+    rd_at = rd
+    bit = 1
+    while bit < D:
+        rd_shift = jnp.pad(rd_at[:, : W - bit], ((0, 0), (bit, 0)))
+        rd_at = jnp.where((d_best & bit) != 0, rd_shift, rd_at)
+        bit *= 2
     lr_bad = (jnp.abs(rd_at - d_best) > disp12_max_diff) & (x - d_best >= 0)
     lr_bad = lr_bad | ((x - d_best < 0) & (d_best > 0))
 
