@@ -28,7 +28,7 @@ with the carry RESIDENT IN VMEM across a sequential 1-D grid:
   * layout is (T, D, N): D on sublanes (d+-1 penalty shifts are sublane
     rolls, min over d a sublane reduce), the line axis N on lanes
     (diagonal shears are lane rolls with a zero shifted in at the
-    global edge — `_dp_line` semantics, L=0/minL=0 outside).
+    global edge — `_dp_line_stack` semantics, L=0/minL=0 outside).
   * when the static cost bound allows (l_bound = cost_bound + p2 <
     2**15), the carry, cost blocks and emitted sums are all 16-bit —
     half the VMEM footprint and HBM traffic. The arithmetic itself runs

@@ -265,41 +265,6 @@ def bt_block_cost(
     return jnp.transpose(dhw, (1, 2, 0))
 
 
-def _dp_line(costs: jax.Array, p1: int, p2: int, shift: int) -> jax.Array:
-    """One aggregation direction as a linear recurrence.
-
-    costs: (T, N, D) — T scan steps of an (N, D) line.
-    shift: lateral shift of the carry per step (0 = straight, +-1 = shear,
-    i.e. a diagonal direction). Missing predecessors (first step, sheared-in
-    lanes) contribute L=0/minL=0 which reduces to L = C exactly like the
-    standard border initialization.
-    Returns (T, N, D) aggregated L values.
-    """
-    T, N, D = costs.shape
-    p1 = jnp.int32(p1)
-    p2 = jnp.int32(p2)
-
-    def step(carry, c):
-        Lp, minLp = carry  # (N, D), (N, 1)
-        if shift == 1:
-            Lp = jnp.concatenate([jnp.zeros_like(Lp[:1]), Lp[:-1]], axis=0)
-            minLp = jnp.concatenate([jnp.zeros_like(minLp[:1]), minLp[:-1]], axis=0)
-        elif shift == -1:
-            Lp = jnp.concatenate([Lp[1:], jnp.zeros_like(Lp[:1])], axis=0)
-            minLp = jnp.concatenate([minLp[1:], jnp.zeros_like(minLp[:1])], axis=0)
-        d_lo = jnp.concatenate([jnp.full_like(Lp[:, :1], _BIG), Lp[:, :-1]], axis=1)
-        d_hi = jnp.concatenate([Lp[:, 1:], jnp.full_like(Lp[:, :1], _BIG)], axis=1)
-        best = jnp.minimum(
-            jnp.minimum(Lp, jnp.minimum(d_lo, d_hi) + p1), minLp + p2
-        )
-        L = c + best - minLp
-        return (L, jnp.min(L, axis=1, keepdims=True)), L
-
-    init = (jnp.zeros((N, D), jnp.int32), jnp.zeros((N, 1), jnp.int32))
-    _, Ls = lax.scan(step, init, costs)
-    return Ls
-
-
 def _dp_line_stack(
     costs: jax.Array, p1: int, p2: int, shifts, lane_plane=None,
     lane_groups=None, out_dtype=jnp.int32, unroll: int = 8,
@@ -309,8 +274,11 @@ def _dp_line_stack(
     shifts[s] per step) consumes plane lane_plane[s] — so directions that
     read the SAME rows (straight + both shears) share one HBM-resident
     plane instead of three copies, and forward + backward y-directions
-    ride ONE scan (plane 1 = the flipped volume). Identical per-direction
-    math to `_dp_line`; batching directions into the scan state cuts the
+    ride ONE scan (plane 1 = the flipped volume). Per-direction math:
+    Hirschmuller's L_r(p, d) = C + min(Lp[d], Lp[d+-1]+P1, minLp+P2) -
+    minLp, with missing predecessors (first step, sheared-in lanes)
+    contributing L=0/minL=0 exactly like the standard border
+    initialization; batching directions into the scan state cuts the
     number of sequential scan loops (the wall-clock cost of SGBM on TPU is
     dominated by sequential scan steps, not FLOPs).
 
@@ -611,19 +579,17 @@ def select_disparity_hdw(
     )
     disp16 = (d_best.astype(jnp.int32) + min_disparity) * DISP_SCALE + frac
 
-    # rd sampled at x - d_best: an 8-step barrel shift (one conditional
-    # static lane shift per bit of d_best) replaces the D masked-shift
-    # passes. Exact: after processing bits k..0, lane x holds
-    # rd[x - (d_best & mask)]; every intermediate index is >= x - d_best,
-    # so pixels with x - d_best >= 0 never read shifted-in padding (the
-    # rest are masked by the lr_bad edge terms below, same as before).
+    # rd sampled at x - d_best: an exact per-row gather of the SMALL
+    # (H, W) rd plane. (A log-step barrel shift cannot express this —
+    # after one step the data at the source lane was shifted under THAT
+    # lane's d_best bits, so composed shifts are only right where d_best
+    # is locally constant. The gather is ~HW int32 elements, negligible
+    # next to the volume passes above.) Lanes with x - d_best < 0 read
+    # the clipped column; they are masked by the lr_bad edge terms below.
     x = jnp.arange(W)[None, :]
-    rd_at = rd
-    bit = 1
-    while bit < D:
-        rd_shift = jnp.pad(rd_at[:, : W - bit], ((0, 0), (bit, 0)))
-        rd_at = jnp.where((d_best & bit) != 0, rd_shift, rd_at)
-        bit *= 2
+    rd_at = jnp.take_along_axis(
+        rd, jnp.clip(x - d_best, 0, W - 1), axis=1
+    )
     lr_bad = (jnp.abs(rd_at - d_best) > disp12_max_diff) & (x - d_best >= 0)
     lr_bad = lr_bad | ((x - d_best < 0) & (d_best > 0))
 

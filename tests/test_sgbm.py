@@ -106,6 +106,47 @@ def test_select_disparity_hdw_matches(pair):
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.parametrize(
+    "uniq,d12", [(10, 1), (0, 0), (10, -1), (5, 2)]
+)
+def test_select_disparity_hdw_matches_random(uniq, d12):
+    """Randomized differential check: on random volumes d_best varies
+    violently between adjacent lanes, which is exactly what broke the old
+    barrel-shift rd gather (smooth images masked it — wrong-lane reads
+    usually returned the same rd value). Must be exact for every
+    (uniqueness, disp12) setting including disp12_max_diff >= 0."""
+    rng = np.random.default_rng(11)
+    H, W, D = 24, 96, 16
+    S = rng.integers(0, 5000, (H, W, D)).astype(np.int32)
+    ref = np.asarray(ops.select_disparity(jnp.asarray(S), uniq, d12, 0))
+    got = np.asarray(
+        ops.select_disparity_hdw(
+            jnp.asarray(np.transpose(S, (0, 2, 1))), uniq, d12, 0
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_select_disparity_hdw_matches_structured_noise():
+    """Structured-noise variant: piecewise-constant disparity field with
+    abrupt jumps plus noise — adjacent lanes mostly agree but jump by
+    large deltas at block seams (the regime between smooth and random)."""
+    rng = np.random.default_rng(13)
+    H, W, D = 32, 128, 32
+    base = np.repeat(rng.integers(0, D, (H, W // 8)), 8, axis=1)
+    d_idx = np.arange(D)[None, None, :]
+    S = (np.abs(d_idx - base[..., None]) * 100).astype(np.int32)
+    S += rng.integers(0, 120, S.shape).astype(np.int32)
+    for uniq, d12 in [(10, 1), (10, 0)]:
+        ref = np.asarray(ops.select_disparity(jnp.asarray(S), uniq, d12, 0))
+        got = np.asarray(
+            ops.select_disparity_hdw(
+                jnp.asarray(np.transpose(S, (0, 2, 1))), uniq, d12, 0
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
+
+
 @pytest.mark.parametrize("ndirs", [3, 5, 8])
 def test_aggregate(pair, ndirs):
     l, r = pair
