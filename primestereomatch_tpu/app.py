@@ -138,6 +138,7 @@ class StereoMatchApp:
             subsample=self.cfg.subsample,
             med_sz=self.cfg.med_sz,
             wta_impl=impl, wmf_impl="jnp" if impl == "xla" else impl,
+            wta_d_chunk=getattr(self, "_wta_d_chunk", 32),
         )
         self.sgbm_cfg = SGBMConfig(
             num_disparities=self.cfg.max_dis,
@@ -184,6 +185,21 @@ class StereoMatchApp:
         """'s' key: FGF subsample rate 2/4/8 (src/main.cpp:186-193)."""
         self.cfg.subsample = s
         self._build_engines()
+
+    def set_parallelism(self, level: int) -> int:
+        """'1'-'8' keys: runtime parallelism granularity — the analog of the
+        reference's live CPU thread count (src/main.cpp:96-195 dispatch to
+        DispEst::setThreads; its threads split the SAME disparity loop).
+        Level k sets the fused-WTA disparity-chunk depth to 2^(k-1)
+        (1..128), clamped to a divisor of max_dis. Returns the applied
+        chunk depth. Results are invariant; only throughput changes."""
+        if not 1 <= level <= 8:
+            raise ValueError(f"parallelism level must be 1..8, got {level}")
+        self._wta_d_chunk = 1 << (level - 1)
+        self._build_engines()
+        from primestereomatch_tpu.models.gif_pipeline import _wta_dc
+
+        return _wta_dc(self.gif_cfg)
 
     def set_mask_mode(self, mode: str):
         """'o' key: cycle evaluation mask (src/main.cpp:172-185)."""

@@ -135,7 +135,10 @@ def main(argv: list[str] | None = None) -> int:
                 gt_scale=args.gt_scale, **base,
             )
             app = StereoMatchApp(cfg)
-            rc |= _run(app, args.frames, args.out, args.pipeline)
+            # the reference key loop runs in image mode too
+            # (src/main.cpp:80-198 polls regardless of media mode)
+            rc |= _run(app, args.frames, args.out, args.pipeline,
+                       interactive=True)
         return rc
 
     if args.RECAPTURE:

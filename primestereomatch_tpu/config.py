@@ -58,6 +58,13 @@ class GIFConfig:
     # 'auto' = pallas on TPU. Last-ulp argmin ties may differ between the
     # two (identical interpolation arithmetic, different summation paths).
     wta_impl: str = "auto"       # auto | xla | pallas
+    # disparity-chunk depth of the fused WTA sweep — the runtime
+    # parallelism-granularity knob (the reference's '1'-'8' thread-count
+    # keys parallelize the same d loop, src/main.cpp:96-195 +
+    # src/DispEst.cpp setThreads). Clamped to a divisor of max_dis; the
+    # VMEM planner may shrink it further per shape. Results are invariant
+    # (the argmin fold is chunk-order exact); only throughput changes.
+    wta_d_chunk: int = 32
     sig_clr: float = 0.1         # SIG_CLR, include/PP.h:13 (wgtMedian)
     sig_dis: float = 9.0         # SIG_DIS, include/PP.h:14 (wgtMedian)
     # The reference ships lrCheck -> fillInv -> wgtMedian commented out

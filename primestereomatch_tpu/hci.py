@@ -15,6 +15,11 @@ compute "thread" is the async JAX dispatch stream), driving the existing
      SGBM: MODE_HH -> MODE_SGBM -> MODE_SGBM_3WAY (src/main.cpp:160-169)
   o  cycle error mask none/nonocc/disc (src/main.cpp:171-184)
   s  subsample rate 2 -> 4 -> 8 -> 2   (src/main.cpp:186-193)
+  1-8  parallelism granularity         (the live thread-count keys,
+                                        src/main.cpp:96-195: level k sets
+                                        the WTA disparity-chunk depth to
+                                        2^(k-1), the d-loop the reference's
+                                        threads split)
   -/=  error threshold down/up         (the trackbar, src/main.cpp:91-93)
 
 Keys are line-buffered on a terminal (type the key then Enter) — a raw
@@ -78,8 +83,10 @@ class KeyLoop:
         self.echo(
             "| h: help | q: quit | a: algorithm | d: dataset | m: mode |\n"
             "| o: error mask | s: subsample | -/=: error threshold |\n"
+            "| 1-8: d-chunk depth (thread-count analog) |\n"
             f"| current: alg={a.cfg.alg} {mode} mask={a.cfg.mask_mode} "
-            f"s={a.cfg.subsample} thr={a.cfg.error_threshold}"
+            f"s={a.cfg.subsample} thr={a.cfg.error_threshold} "
+            f"dc={getattr(a, '_wta_d_chunk', 32)}"
         )
 
     def _key_a(self):
@@ -130,12 +137,24 @@ class KeyLoop:
         self.app.cfg.error_threshold = t
         self.echo(f"| threshold: Error Threshold changed to {t}.")
 
+    def _key_digit(self, level: int):
+        # reference '1'-'8': live CPU thread count (src/main.cpp:96-195);
+        # here the analogous d-loop parallelism knob (WTA chunk depth)
+        dc = self.app.set_parallelism(level)
+        self.echo(
+            f"| {level}: Disparity-chunk depth (thread-count analog) "
+            f"changed to {dc}. |"
+        )
+
     # -- loop ---------------------------------------------------------------
 
     def handle(self, key: str) -> bool:
         """Apply one key. Returns False when the run should stop ('q')."""
         if key == "q":
             return False
+        if key in "12345678":
+            self._key_digit(int(key))
+            return True
         fn = {
             "h": self._key_h, "a": self._key_a, "d": self._key_d,
             "m": self._key_m, "o": self._key_o, "s": self._key_s,

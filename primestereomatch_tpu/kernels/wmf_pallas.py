@@ -102,13 +102,28 @@ def _wmf_kernel(
             total = total + w
     half = total * 0.5
 
-    # lower_bound over the monotone cum(b): smallest b with cum(b) >= half
-    width = 1
-    while width < n_bins:
-        width *= 2
-    ans = jnp.zeros((TILE_H, TILE_W), jnp.int32)
-    while width > 1:
-        width //= 2
+    # lower_bound over the monotone cum(b): smallest b with cum(b) >= half.
+    # BOUNDED search: most tiles span far fewer than n_bins disparity
+    # levels, so the search starts at the tile's min and its width covers
+    # only the tile's range — ceil(log2(range)) probes instead of
+    # log2(n_bins). Bit-identical results: cum is exactly monotone in mid
+    # (nonnegative weights), every probed mid's float sum runs in the same
+    # offset order, and the invariant cum(ans-1) < half <= cum(ans+width-1)
+    # holds from the start (cum(dmn-1) = 0, cum(dmx) = total). The bounds
+    # may be loose (halo rows/zero padding lanes enter the min) — loose
+    # bounds only add probes, never change the answer.
+    dmn = jnp.min(dtile[...])
+    dmx = jnp.max(dtile[...])
+    rng = dmx - dmn + 1
+
+    def w0_body(w):
+        return w * 2
+
+    width0 = jax.lax.while_loop(lambda w: w < rng, w0_body, jnp.int32(1))
+
+    def probe_body(carry):
+        width, ans = carry
+        width = width // 2
         mid = (ans + (width - 1))[None]
 
         # probe in blocks of `win` offsets: fewer loop trips, vector
@@ -123,7 +138,12 @@ def _wmf_kernel(
         cum = jax.lax.fori_loop(
             0, win, cum_body, jnp.zeros((TILE_H, TILE_W), jnp.float32)
         )
-        ans = jnp.where(cum < half, ans + width, ans)
+        return width, jnp.where(cum < half, ans + width, ans)
+
+    _, ans = jax.lax.while_loop(
+        lambda c: c[0] > 1, probe_body,
+        (width0, jnp.full((TILE_H, TILE_W), dmn, jnp.int32)),
+    )
 
     ans = jnp.clip(ans, 0, n_bins - 1)
     out_ref[0] = jnp.where(total > 0, ans, 0)

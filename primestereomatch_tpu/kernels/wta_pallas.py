@@ -667,19 +667,22 @@ def _wta_poly_run(guide, maps, h, w, out_hw, DC, pp, interpret, tile_h=None,
         )[..., :want_w]
         WPm = maps.shape[3]
     need_h = int(row_start.max()) + RS
-    if HPm < need_h:
+    if HPm < need_h and (HPm % 8 != 0 or HPm < RS):
+        # clamping (below) is exact whenever the frame rows stay 8-aligned
+        # (the multiple_of-8 DMA hint must hold for the clamped starts) and
+        # a full slab window fits: all weight-carrying rows sy..sy+1 <= h-1
+        # (linear_coeffs zeroes the +1 tap at the edge) < HPm stay covered.
+        # The lowmaps layout (HP = n_tiles*32) always qualifies — this pad
+        # only fires for hand-fed odd-row maps. (An unconditional pad here
+        # cost 2 x 3.6 ms of pure HBM copy at 2K/d=256.)
         if batched:
-            # per-frame padding is impossible post-fold; clamping the
-            # aligned window starts is exact instead (all weight-carrying
-            # rows sy..sy+1 < h <= HPm stay covered since RS >= span+8)
-            if HPm < RS:
-                raise ValueError(
-                    f"maps frame rows {HPm} < slab window {RS} — feed the "
-                    "pre-padded lowmaps batched output"
-                )
-        else:
-            maps = jnp.pad(maps, ((0, 0), (0, 0), (0, need_h - HPm), (0, 0)))
-            HPm = need_h
+            # per-frame padding is impossible post-fold
+            raise ValueError(
+                f"maps frame rows {HPm} unusable (need 8-aligned >= {RS}) — "
+                "feed the pre-padded lowmaps batched output"
+            )
+        maps = jnp.pad(maps, ((0, 0), (0, 0), (0, need_h - HPm), (0, 0)))
+        HPm = need_h
     row_start = np.minimum(row_start, HPm - RS).astype(np.int32)
     ry_rel = (sy - np.repeat(row_start, TH)).astype(np.float32)
     row_start_b = (

@@ -43,6 +43,15 @@ def _to_u8(img01: jax.Array) -> jax.Array:
     return jnp.clip(jnp.rint(img01 * 255.0), 0, 255).astype(jnp.uint8)
 
 
+def _wta_dc(cfg: GIFConfig) -> int:
+    """Requested disparity-chunk depth, clamped to a divisor of max_dis
+    (the '1'-'8' runtime parallelism knob; kernels require D % dc == 0)."""
+    dc = max(1, min(cfg.wta_d_chunk, cfg.max_dis))
+    while cfg.max_dis % dc:
+        dc -= 1
+    return dc
+
+
 def _use_pallas_wmf(cfg: GIFConfig) -> bool:
     if cfg.wmf_mode != "exact":
         return False
@@ -116,7 +125,7 @@ def stereo_gif_forward(
     wta_impl = cfg.wta_impl
     if wta_impl == "auto":
         wta_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if wta_impl == "pallas" and cfg.max_dis % min(32, cfg.max_dis) == 0:
+    if wta_impl == "pallas" and cfg.max_dis % _wta_dc(cfg) == 0:
         # fully fused TPU path: the low-res (a, b) chain runs in one Pallas
         # kernel emitting the maps in the WTA kernel's padded layout — the
         # maps are written once and DMA'd once (kernels/lowmaps_pallas.py).
@@ -134,7 +143,7 @@ def stereo_gif_forward(
 
         h, w = lcv_low.shape[-2:]
         pp = poly_col_params(w, W)
-        dc = min(32, cfg.max_dis)
+        dc = _wta_dc(cfg)
         if pp is not None and pp["exact"]:
             # exact integer ratios (2K/HD720/ZED): per-view static poly
             # dispatch — the view fold's jnp.stack copies cost more than
@@ -286,7 +295,7 @@ def stereo_gif_forward_batch(
             poly_col_params,
         )
 
-        dc = min(32, cfg.max_dis)
+        dc = _wta_dc(cfg)
         pp = poly_col_params(w, W)
         # ONE folded pallas_call per stage for all 2B views (frames on the
         # row-tile grid axis) — per-frame kernel dispatch is what caps

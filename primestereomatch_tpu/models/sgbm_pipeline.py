@@ -115,14 +115,33 @@ def stereo_sgbm_forward(
     return disp16
 
 
-def sgbm_display_u8(disp16: jax.Array, scale_factor: int, max_dis: int) -> jax.Array:
-    """The reference's display/eval conversion (src/StereoMatch.cpp:181-186):
-    minMaxLoc + convertTo(CV_8U, 255/(max-min)), then /4 (HALF the 16x
-    scale divided by the dataset scale) times scale_factor.
+def sgbm_display_u8(
+    disp16: jax.Array, scale_factor: int, max_dis: int, mode: str = "canonical"
+) -> jax.Array:
+    """Display/eval conversion of the 16x fixed-point disparity map.
 
-    We reproduce the simpler canonical form used for %BP eval: integer
+    mode='canonical' (the library default used for %BP eval): integer
     disparity = disp16 / 16 (invalid -> 0), scaled like the GIF maps.
+
+    mode='reference' reproduces the reference display path EXACTLY
+    (src/StereoMatch.cpp:181-186): minMaxLoc over the raw int16 map
+    (including the -16 invalid sentinel), convertTo(CV_8U, 255/(max-min))
+    (round-half-to-even, saturate, NO -min shift), then the rounded
+    /4 division and *scale_factor saturation of the u8 Mat ops. Note the
+    result is data-dependent (per-frame normalization) — good for viewing,
+    unusable as a metric input; that is the reference's behavior.
     """
+    if mode == "reference":
+        minv = jnp.min(disp16).astype(jnp.float32)
+        maxv = jnp.max(disp16).astype(jnp.float32)
+        denom = maxv - minv
+        alpha = jnp.where(denom > 0, 255.0 / jnp.maximum(denom, 1e-30), 0.0)
+        # convertTo: saturate_cast<uchar>(cvRound(v * alpha))
+        u8 = jnp.clip(jnp.rint(disp16.astype(jnp.float32) * alpha), 0, 255)
+        # (lDispMap / 4) * scale_factor: cv u8 Mat ops round the division
+        # (saturate_cast(cvRound(x / 4.0))) and saturate the product
+        u8 = jnp.rint(u8 / 4.0)
+        return jnp.clip(u8 * scale_factor, 0, 255).astype(jnp.uint8)
     d = jnp.maximum(disp16.astype(jnp.int32), 0) // DISP_SCALE
     return jnp.clip(d, 0, max_dis - 1).astype(jnp.uint8)
 

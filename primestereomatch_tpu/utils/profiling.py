@@ -66,6 +66,69 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+def collect_hlo_stats(fn, args, steps: int = 5, warmup: int = 2):
+    """Run `fn(*args)` under a jax.profiler trace and return MEASURED
+    per-HLO-op device stats (the reference's CL_QUEUE_PROFILING_ENABLE
+    event dump, oclUtil.cpp:137-174, reborn as XLA oper stats).
+
+    Returns a list of dicts sorted by total self time, each with:
+      name, category, occurrences, avg_self_us (per occurrence),
+      total_self_us, hbm_gbps (measured), flop_rate (GFLOP/s, model),
+      bound_by ('hbm' / 'compute' / ...), dma_stall_pct.
+
+    Requires the `xprof` package (baked into this image) to parse the
+    xplane protobuf; raises RuntimeError if the trace captured no device
+    plane (e.g. CPU backend traces carry no per-op HBM counters).
+    """
+    import glob
+    import json
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    for _ in range(warmup):
+        out = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+
+    d = tempfile.mkdtemp(prefix="psm_hlo_stats_")
+    jax.profiler.start_trace(d)
+    for _ in range(steps):
+        out = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    jax.profiler.stop_trace()
+
+    pbs = glob.glob(d + "/**/*.xplane.pb", recursive=True)
+    if not pbs:
+        raise RuntimeError(f"no xplane.pb produced under {d}")
+    from xprof.convert import raw_to_tool_data as rtd
+
+    data, _ = rtd.xspace_to_tool_data(pbs, "hlo_stats", {})
+    j = json.loads(data if isinstance(data, str) else data.decode())
+    cols = [c["id"] for c in j["cols"]]
+    recs = []
+    for r in j.get("rows", []):
+        rec = dict(zip(cols, [c["v"] for c in r["c"]]))
+        occ = float(rec.get("occurrences") or 0) or 1.0
+        recs.append(
+            {
+                "name": rec.get("hlo_op_name"),
+                "category": rec.get("category"),
+                "expression": rec.get("hlo_op_expression"),
+                "occurrences": occ,
+                "total_self_us": float(rec.get("total_self_time") or 0.0),
+                "avg_self_us": float(rec.get("total_self_time") or 0.0) / occ,
+                "hbm_gbps": float(rec.get("hbm_bw") or 0.0),
+                "mem_gbps": float(rec.get("measured_memory_bw") or 0.0),
+                "flop_rate": float(rec.get("model_flop_rate") or 0.0),
+                "bound_by": rec.get("bound_by"),
+                "dma_stall_pct": float(rec.get("dma_stall_percent") or 0.0),
+            }
+        )
+    recs.sort(key=lambda r: -r["total_self_us"])
+    return recs
+
+
 def gif_hbm_bytes(height: int, width: int, max_dis: int, subsample: int,
                   wmf_radius: int = 9) -> int:
     """Minimum HBM traffic for one STEREO_GIF frame (both views), assuming

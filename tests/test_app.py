@@ -211,6 +211,49 @@ def test_keyloop_dataset_cycle():
     assert app.cfg.dataset != start and app._sample is not None
 
 
+def test_keyloop_parallelism_digits(small_video_app):
+    """'1'-'8' (the reference thread-count keys, src/main.cpp:96-195) set
+    the WTA disparity-chunk depth — and the setting takes effect on the
+    engine config, clamped to a divisor of max_dis."""
+    from primestereomatch_tpu.hci import KeyLoop
+
+    app = small_video_app
+    msgs = []
+    kl = KeyLoop(app, reader=lambda: "", echo=msgs.append)
+    from primestereomatch_tpu.models.gif_pipeline import _wta_dc
+
+    assert kl.handle("6")                  # 2^5 = 32, clamped to max_dis
+    assert app.gif_cfg.wta_d_chunk == 32
+    assert str(min(32, app.cfg.max_dis)) in msgs[-1]
+    assert kl.handle("1")
+    assert app.gif_cfg.wta_d_chunk == 1 and _wta_dc(app.gif_cfg) == 1
+    assert kl.handle("8")                  # 128 clamps to a max_dis divisor
+    assert _wta_dc(app.gif_cfg) == min(128, app.cfg.max_dis)
+    kl.handle("h")
+    assert any("1-8" in m for m in msgs)
+
+
+def test_cli_image_interactive_keys(capsys, monkeypatch):
+    """Image-mode CLI runs the key loop too (reference src/main.cpp:80-198
+    polls in both media modes): 'd' cycles the dataset mid-run and a digit
+    key lands on the engine config."""
+    feed = ["d", "3", "q"]
+    monkeypatch.setattr(
+        "primestereomatch_tpu.hci._stdin_reader",
+        lambda: feed.pop(0) if feed else "",
+    )
+    rc = main([
+        "-a", "STEREO_GIF", "--max-dis", "16", "--frames", "4",
+        "--mask", "none", "image", "--dataset", "Cones",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Dataset changed to" in out
+    assert "Disparity-chunk depth" in out and "4" in out
+    # 'q' (read after frame 2) stopped the 4-frame run early
+    assert "frame 2" in out and "frame 3" not in out
+
+
 def test_cli_video_quit_key(capsys, monkeypatch):
     """'q' on stdin stops a multi-frame video run after the first frame."""
     feed = ["q"]

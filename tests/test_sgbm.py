@@ -274,6 +274,29 @@ def test_end_to_end_oracle_modes(pair, mode):
     np.testing.assert_array_equal(got, want)
 
 
+def test_sgbm_display_reference_vs_cv2():
+    """mode='reference' display conversion must match the reference's exact
+    OpenCV sequence (src/StereoMatch.cpp:181-186): minMaxLoc ->
+    imgDisparity16S.convertTo(CV_8U, 255/(max-min)) ->
+    (lDispMap / 4) * scale_factor on the u8 Mat."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(5)
+    for sf in (1, 3, 4):
+        d16 = rng.integers(-16, 64 * 16, (37, 53)).astype(np.int16)
+        got = np.asarray(
+            sgbm_display_u8(jnp.asarray(d16), sf, 64, mode="reference")
+        )
+        minv, maxv, _, _ = cv2.minMaxLoc(d16)
+        alpha = 255.0 / (maxv - minv)
+        # convertTo(CV_8U, alpha) = saturate_cast<uchar>(cvRound(v*alpha)):
+        # cv2.multiply with dtype=CV_8U applies exactly that conversion
+        dst = cv2.multiply(d16, np.ones_like(d16), scale=alpha,
+                           dtype=cv2.CV_8U)
+        dst = cv2.divide(dst, 4)         # rounded u8 division
+        dst = cv2.multiply(dst, sf)      # saturating u8 multiply
+        np.testing.assert_array_equal(got, np.asarray(dst).reshape(d16.shape))
+
+
 @pytest.mark.slow
 def test_sgbm_quality_teddy(teddy):
     """End-to-end quality: %BP (nonocc, over valid pixels) on Teddy must be
