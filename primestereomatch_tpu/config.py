@@ -58,6 +58,15 @@ class GIFConfig:
     # 'auto' = pallas on TPU. Last-ulp argmin ties may differ between the
     # two (identical interpolation arithmetic, different summation paths).
     wta_impl: str = "auto"       # auto | xla | pallas
+    # CVC construction on the fused Pallas tail: 'fused' computes the
+    # sampled cost volume INSIDE the low-maps kernel from tiny polyphase
+    # planes (kernels/cvc_lowmaps_pallas.py — the (D, h, w) volume never
+    # exists in HBM; exact-stride columns only, e.g. 2K/HD720), 'xla'
+    # materializes it via build_cost_volumes_sampled. 'auto' = fused
+    # whenever the Pallas WTA path runs and the geometry qualifies.
+    # Last-ulp float-contraction differences vs the XLA cost can move
+    # knife-edge argmin ties (same tolerance class as wta_impl).
+    cvc_impl: str = "auto"       # auto | xla | fused
     # disparity-chunk depth of the fused WTA sweep — the runtime
     # parallelism-granularity knob (the reference's '1'-'8' thread-count
     # keys parallelize the same d loop, src/main.cpp:96-195 +

@@ -64,8 +64,8 @@ def _box_valid(x: jax.Array, k: int, scale: float) -> jax.Array:
     return c * scale
 
 
-def _lowmaps_kernel(
-    p_blk,        # (1, DC, TI, WI)  cost block (pre-padded tile)
+def _maps_chain(
+    p,            # (DC, TI, WI)  cost block values (pre-padded tile)
     stat_blk,     # (1, 12, TI, WI)  ch_low(3) means(3) inv(6), same tile
     out_ref,      # (4, DC, TH, margin+WO)  [a_r, a_g, a_b, b] box-averaged
     *, k: int, DC: int, margin: int = 0,
@@ -76,8 +76,8 @@ def _lowmaps_kernel(
     # the WTA consumer only reads with 0.0 weight.
     m1 = k // 2
     inv_k2 = 1.0 / (k * k)
-    TI = p_blk.shape[2]
-    WI = p_blk.shape[3]
+    TI = p.shape[1]
+    WI = p.shape[2]
 
     ch = stat_blk[0, 0:3]                       # (3, TI, WI)
     # stats are consumed at the mid domain (TH+2*m1, WO+2*m1)
@@ -86,7 +86,6 @@ def _lowmaps_kernel(
     mean_r = stat_blk[0, 3:6, mid_r[0]:mid_r[1], mid_c[0]:mid_c[1]]
     inv6 = stat_blk[0, 6:12, mid_r[0]:mid_r[1], mid_c[0]:mid_c[1]]
 
-    p = p_blk[0]                                 # (DC, TI, WI)
     mp = _box_valid(p, k, inv_k2)                # (DC, TI-2m1, WI-2m1)
     mIp = [
         _box_valid(ch[c][None] * p, k, inv_k2) for c in range(3)
@@ -115,6 +114,15 @@ def _lowmaps_kernel(
             out_ref[i, :, :, margin:] = boxed
         else:
             out_ref[i] = boxed
+
+
+def _lowmaps_kernel(
+    p_blk,        # (1, DC, TI, WI)  cost block (pre-padded tile)
+    stat_blk,     # (1, 12, TI, WI)  ch_low(3) means(3) inv(6), same tile
+    out_ref,      # (4, DC, TH, margin+WO)  [a_r, a_g, a_b, b] box-averaged
+    *, k: int, DC: int, margin: int = 0,
+):
+    _maps_chain(p_blk[0], stat_blk, out_ref, k=k, DC=DC, margin=margin)
 
 
 @functools.partial(

@@ -109,11 +109,6 @@ def stereo_gif_forward(
     s = cfg.subsample
     yi = nearest_indices(H, H // s)
     xi = nearest_indices(W, W // s)
-    lcv_low, rcv_low = build_cost_volumes_sampled(
-        l_img, r_img, l_grd, r_grd, cfg.max_dis, yi, xi,
-        alpha=cfg.alpha, border_cost=cfg.border_cost,
-        tau1=cfg.tau1, tau2=cfg.tau2,
-    )
     up_impl = cfg.upsample_impl
     if up_impl == "auto":
         up_impl = "mxu" if jax.default_backend() == "tpu" else "lerp"
@@ -125,6 +120,34 @@ def stereo_gif_forward(
     wta_impl = cfg.wta_impl
     if wta_impl == "auto":
         wta_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    # CVC: on the fused-tail exact-stride path the cost volume is built
+    # INSIDE the low-maps kernel (kernels/cvc_lowmaps_pallas.py) — decide
+    # first so the (D, h, w) volume is only materialized when consumed.
+    from primestereomatch_tpu.kernels.cvc_lowmaps_pallas import (
+        cvc_lowmaps_applicable,
+    )
+    from primestereomatch_tpu.kernels.wta_pallas import poly_col_params as _pcp
+
+    pp_probe = _pcp(len(xi), W)
+    fuse_cvc = (
+        cfg.cvc_impl in ("auto", "fused")
+        and wta_impl == "pallas"
+        and cfg.max_dis % _wta_dc(cfg) == 0
+        and pp_probe is not None and pp_probe["exact"]
+        and cvc_lowmaps_applicable(
+            W, len(xi), xi, cfg.max_dis, s, radius=cfg.gif_radius,
+            out_wp=pp_probe["out_wp"], out_margin=pp_probe["margin"],
+        )
+    )
+    if cfg.cvc_impl == "xla":
+        fuse_cvc = False
+    if not fuse_cvc:
+        lcv_low, rcv_low = build_cost_volumes_sampled(
+            l_img, r_img, l_grd, r_grd, cfg.max_dis, yi, xi,
+            alpha=cfg.alpha, border_cost=cfg.border_cost,
+            tau1=cfg.tau1, tau2=cfg.tau2,
+        )
     if wta_impl == "pallas" and cfg.max_dis % _wta_dc(cfg) == 0:
         # fully fused TPU path: the low-res (a, b) chain runs in one Pallas
         # kernel emitting the maps in the WTA kernel's padded layout — the
@@ -141,28 +164,48 @@ def stereo_gif_forward(
             poly_col_params,
         )
 
-        h, w = lcv_low.shape[-2:]
+        h, w = len(yi), len(xi)
         pp = poly_col_params(w, W)
         dc = _wta_dc(cfg)
         if pp is not None and pp["exact"]:
             # exact integer ratios (2K/HD720/ZED): per-view static poly
             # dispatch — the view fold's jnp.stack copies cost more than
             # the saved launch at these sizes (measured +2 ms at 2K)
-            from primestereomatch_tpu.kernels.lowmaps_pallas import (
-                fgf_low_maps_pallas,
-            )
             from primestereomatch_tpu.kernels.wta_pallas import (
                 fgf_wta_pallas_maps,
             )
 
-            lowm = functools.partial(
-                fgf_low_maps_pallas, radius=cfg.gif_radius, eps=cfg.gif_eps,
-                subsample=s,
-                out_wp=pp["out_wp"], out_margin=pp["margin"],
-            )
+            if fuse_cvc:
+                # cost volume built inside the low-maps kernel from the
+                # polyphase planes — never materialized in HBM
+                from primestereomatch_tpu.kernels.cvc_lowmaps_pallas import (
+                    cvc_fgf_low_maps_pallas,
+                )
+
+                lowm_f = functools.partial(
+                    cvc_fgf_low_maps_pallas, max_dis=cfg.max_dis,
+                    yi=yi, xi=xi, radius=cfg.gif_radius, eps=cfg.gif_eps,
+                    subsample=s, out_wp=pp["out_wp"], out_margin=pp["margin"],
+                    alpha=cfg.alpha, border_cost=cfg.border_cost,
+                    tau1=cfg.tau1, tau2=cfg.tau2,
+                )
+                maps_l = lowm_f(l_img, l_grd, r_img, r_grd, True)
+                maps_r = lowm_f(r_img, r_grd, l_img, l_grd, False)
+            else:
+                from primestereomatch_tpu.kernels.lowmaps_pallas import (
+                    fgf_low_maps_pallas,
+                )
+
+                lowm = functools.partial(
+                    fgf_low_maps_pallas, radius=cfg.gif_radius,
+                    eps=cfg.gif_eps, subsample=s,
+                    out_wp=pp["out_wp"], out_margin=pp["margin"],
+                )
+                maps_l = lowm(l_img, lcv_low)
+                maps_r = lowm(r_img, rcv_low)
             wta = functools.partial(fgf_wta_pallas_maps, d_chunk=dc, poly=True)
-            l_disp = wta(l_img, lowm(l_img, lcv_low), (h, w), (H, W))
-            r_disp = wta(r_img, lowm(r_img, rcv_low), (h, w), (H, W))
+            l_disp = wta(l_img, maps_l, (h, w), (H, W))
+            r_disp = wta(r_img, maps_r, (h, w), (H, W))
         else:
             # small/odd shapes: fold the two VIEWS into one launch per
             # stage; quasi ratios take the masked poly variant, the rest

@@ -120,7 +120,10 @@ def test_lowmaps_pallas_matches_jnp(rng, H, W, D, s):
     ma, mb = fgf_low_maps(g, p, 8, 1e-4, s)
     want = np.stack([np.asarray(t) for t in (*ma, mb)])
     got = np.asarray(fgf_low_maps_pallas(g, p, 8, 1e-4, s, interpret=True))
-    assert np.allclose(got[:, :, :h, :w], want, atol=5e-5, rtol=1e-3)
+    # atol 2e-4: XLA CPU's reduce/fusion choices for the jnp reference vary
+    # with process history (the s=8 case flaked at ~1e-4 only inside a full
+    # -n 4 suite run; standalone both paths agree to <1e-6)
+    assert np.allclose(got[:, :, :h, :w], want, atol=2e-4, rtol=1e-3)
     assert np.all(np.isfinite(got))  # junk outside (h, w) is weight-0 in WTA
 
     d_kernel = np.asarray(fgf_wta_pallas_maps(
@@ -128,6 +131,86 @@ def test_lowmaps_pallas_matches_jnp(rng, H, W, D, s):
     ))
     d_xla = np.asarray(fgf_wta_low_maps(g, ma, mb, (H, W), d_chunk=D))
     assert (d_kernel != d_xla).mean() <= 2e-3
+
+
+@pytest.mark.parametrize("H,W,D,s", [(128, 256, 16, 4), (124, 256, 16, 4), (96, 192, 8, 2)])
+@pytest.mark.parametrize("poly", [False, True])
+def test_cvc_lowmaps_fused_matches_composition(rng, H, W, D, s, poly):
+    """Fused CVC+lowmaps kernel == build_cost_volumes_sampled ->
+    fgf_low_maps_pallas up to float contraction (XLA may fuse the cost
+    combine into an FMA in one program and not the other), for both views
+    and both map layouts. Covers a non-divisible row count (124/4) where
+    the row sample grid is a gather."""
+    from primestereomatch_tpu.kernels.cvc_lowmaps_pallas import (
+        cvc_fgf_low_maps_pallas,
+        cvc_lowmaps_applicable,
+    )
+    from primestereomatch_tpu.kernels.lowmaps_pallas import fgf_low_maps_pallas
+    from primestereomatch_tpu.kernels.wta_pallas import poly_col_params
+    from primestereomatch_tpu.ops.cost_volume import build_cost_volumes_sampled
+    from primestereomatch_tpu.ops.resize import nearest_indices
+
+    h, w = H // s, W // s
+    yi = nearest_indices(H, h)
+    xi = nearest_indices(W, w)
+    assert cvc_lowmaps_applicable(W, w, xi, D, s)
+    l = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+    r = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+    lg = jnp.asarray(rng.random((H, W)).astype(np.float32))
+    rg = jnp.asarray(rng.random((H, W)).astype(np.float32))
+    if poly:
+        pp = poly_col_params(w, W)
+        kw = {"out_wp": pp["out_wp"], "out_margin": pp["margin"]}
+        mgn = pp["margin"]
+    else:
+        kw, mgn = {}, 0
+    lcv, rcv = build_cost_volumes_sampled(l, r, lg, rg, D, yi, xi)
+    for is_left, cv, img, grd, o_img, o_grd in [
+        (True, lcv, l, lg, r, rg), (False, rcv, r, rg, l, lg),
+    ]:
+        want = np.asarray(
+            fgf_low_maps_pallas(img, cv, 8, 1e-4, s, interpret=True, **kw)
+        )
+        got = np.asarray(cvc_fgf_low_maps_pallas(
+            img, grd, o_img, o_grd, is_left, D, yi, xi, 8, 1e-4, s,
+            interpret=True, **kw,
+        ))
+        assert got.shape == want.shape
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(
+            got[:, :, :h, mgn:mgn + w], want[:, :, :h, mgn:mgn + w],
+            atol=5e-5, rtol=1e-3,
+        )
+
+
+def test_cvc_lowmaps_fused_tau_variant(rng):
+    """tau1/tau2 OpenCL-variant clamps flow through the fused kernel."""
+    from primestereomatch_tpu.kernels.cvc_lowmaps_pallas import (
+        cvc_fgf_low_maps_pallas,
+    )
+    from primestereomatch_tpu.kernels.lowmaps_pallas import fgf_low_maps_pallas
+    from primestereomatch_tpu.ops.cost_volume import build_cost_volumes_sampled
+    from primestereomatch_tpu.ops.resize import nearest_indices
+
+    H, W, D, s = 96, 256, 8, 4
+    h, w = H // s, W // s
+    yi = nearest_indices(H, h)
+    xi = nearest_indices(W, w)
+    l = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+    r = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+    lg = jnp.asarray(rng.random((H, W)).astype(np.float32))
+    rg = jnp.asarray(rng.random((H, W)).astype(np.float32))
+    lcv, _ = build_cost_volumes_sampled(
+        l, r, lg, rg, D, yi, xi, tau1=0.3, tau2=0.05,
+    )
+    want = np.asarray(fgf_low_maps_pallas(l, lcv, 8, 1e-4, s, interpret=True))
+    got = np.asarray(cvc_fgf_low_maps_pallas(
+        l, lg, r, rg, True, D, yi, xi, 8, 1e-4, s,
+        tau1=0.3, tau2=0.05, interpret=True,
+    ))
+    np.testing.assert_allclose(
+        got[:, :, :h, :w], want[:, :, :h, :w], atol=5e-5, rtol=1e-3
+    )
 
 
 @pytest.mark.parametrize("H,W,D,s", [(128, 256, 16, 4), (96, 256, 8, 2), (64, 512, 8, 8), (120, 640, 16, 4)])
