@@ -59,6 +59,9 @@ _BIG = np.int32(1 << 28)
 _VMEM_BUDGET = 12 * 1024 * 1024
 # test/tuning hook: force the rows-per-step choice (None = auto by budget)
 _FORCE_R = None
+# bt cost kernel tile shape (tuning hooks; see bt_block_cost_pallas)
+_BT_TH = 16
+_BT_DC = 32
 
 
 def _round_up(x: int, m: int) -> int:
@@ -380,7 +383,8 @@ def _roll_static(x, sh: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_dis", "block_size", "cost_bound", "interpret"),
+    static_argnames=("max_dis", "block_size", "cost_bound", "rows_to",
+                     "interpret"),
 )
 def bt_block_cost_pallas(
     l_ftr: jax.Array,          # (H, W, C=3) int32 prefiltered features
@@ -388,6 +392,7 @@ def bt_block_cost_pallas(
     max_dis: int,
     block_size: int,
     cost_bound: int | None = None,
+    rows_to: int | None = None,  # zero-pad output rows to (at least) this
     interpret: bool = False,
 ) -> jax.Array:
     """Fused BT pixel cost + block window sum as ONE Pallas launch,
@@ -412,11 +417,14 @@ def bt_block_cost_pallas(
         raise ValueError("bt_block_cost_pallas needs an odd block_size")
     out_dt = jnp.int16 if (cost_bound is not None and cost_bound < 2**15) else jnp.int32
 
-    TH = 16   # halo recompute = (TH + k - 1)/TH; 16 wastes ~25% vs 8's 100%
-    DC = min(32, max_dis)
+    TH = _BT_TH   # halo recompute = (TH + k - 1)/TH; 16 wastes ~25% vs 8's 100%
+    DC = min(_BT_DC, max_dis)
     while max_dis % DC:
         DC //= 2
-    GH = -(-H // TH)
+    # rows_to: emitting the extra zero rows here (scan-neutral) lets the
+    # aggregation's x-scan consume the volume without its own lane pad
+    # (a 1.4 GB copy at 2K)
+    GH = -(-max(H, rows_to or 0) // TH)
     GD = max_dis // DC
     Hp = GH * TH
     Wp = _round_up(W, 128)
@@ -505,6 +513,48 @@ def sgbm_aggregate_pallas(
     rows/lanes behave exactly like the virtual pre-scan state and the
     logical region is bit-identical; the final accumulation slices back to
     (H, D, W) (the slices fuse into the adds)."""
+    parts = sgbm_aggregate_partials_pallas(
+        cost, p1, p2, num_directions, cost_bound=cost_bound,
+        interpret=interpret, in_layout=in_layout, logical_hw=logical_hw,
+    )
+    if in_layout == "dhw":
+        D, H, W = cost.shape
+        if logical_hw is not None:
+            H, W = logical_hw
+    else:
+        H, W, D = cost.shape
+    S = parts[0][:H, :, :W].astype(jnp.int32)
+    for q in parts[1:]:
+        S = S + q[:H, :, :W].astype(jnp.int32)
+    if out_layout == "hdw":
+        return S
+    return jnp.transpose(S, (0, 2, 1))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "p1", "p2", "num_directions", "cost_bound", "interpret",
+        "in_layout", "logical_hw",
+    ),
+)
+def sgbm_aggregate_partials_pallas(
+    cost: jax.Array,
+    p1: int, p2: int,
+    num_directions: int = 8,
+    cost_bound: int | None = None,
+    interpret: bool = False,
+    in_layout: str = "hwd",
+    logical_hw: tuple | None = None,
+) -> tuple:
+    """The aggregation WITHOUT materializing S: returns a tuple of
+    (rows>=H, D, lanes>=W)-layout integer partial tensors whose elementwise
+    sum over the logical region equals `sgbm_aggregate_pallas(...,
+    out_layout='hdw')` — the exact input contract of
+    kernels/select_pallas.py::select_disparity_partials_pallas. At
+    2K/d=256 this skips ~2.8 GB of int32 S writes + re-reads and the
+    int32 transpose glue (the x-scan pair is summed at uint16 BEFORE its
+    transpose when 2 * (cost_bound + p2) < 2**16)."""
     if in_layout == "dhw":
         D, H, W = cost.shape
         if logical_hw is not None:
@@ -548,18 +598,35 @@ def sgbm_aggregate_pallas(
         out_dtype=out_dt, math_dtype=math_dt, acc_dtype=acc_dt,
         interpret=interpret,
     )
-    # accumulate in (H, D, W): y-scan outputs land in it natively; the
-    # logical-region slices fuse into the adds
-    Sx = (Lx_f[:W, :, :H] + Lx_b[:W, :, :H].astype(jnp.int32))
-    S = jnp.transpose(Sx, (2, 1, 0))                       # (H, D, W)
+    # x-scan pair: sum BEFORE the transpose, at uint16 when the bound
+    # allows (each group is one lane, <= l_bound) — half the transpose
+    # bytes; rows pad to the lane tile so the transpose output is the
+    # (rows, D, lanes) layout the select kernel consumes directly
+    pair_dt = (
+        jnp.uint16
+        if (l_bound is not None and 2 * l_bound < 2**16
+            and out_dt == jnp.uint16)
+        else jnp.int32
+    )
+    Sx = Lx_f[:W].astype(pair_dt) + Lx_b[:W].astype(pair_dt)
+    Sx = jnp.pad(Sx, ((0, _round_up(W, 128) - W), (0, 0), (0, 0)))
+    Px = jnp.transpose(Sx, (2, 1, 0))       # (lanes_H >= H, D, W_pad)
 
-    # y-scans: T = H, line axis = W -> (H, D, W)
+    # y-scans: T = H, line axis = W -> (H, D, W). Scan rows pad to the
+    # sublane tile (zero rows are scan-neutral) so the partial outputs
+    # directly satisfy the select kernel's rows >= round_up(H, 8)
+    # contract; the pad fuses into the transpose.
     if in_layout == "dhw":
         cy = jnp.transpose(cost, (1, 0, 2))
     else:
         cy = jnp.transpose(cost, (0, 2, 1))
     cy = jnp.pad(
-        cy, ((0, 0), (0, 0), (0, _round_up(cy.shape[2], 128) - cy.shape[2]))
+        cy,
+        (
+            (0, _round_up(cy.shape[0], 8) - cy.shape[0]),
+            (0, 0),
+            (0, _round_up(cy.shape[2], 128) - cy.shape[2]),
+        ),
     )
     if num_directions == 3:
         (Ld,) = sgbm_scan_pallas(
@@ -568,7 +635,7 @@ def sgbm_aggregate_pallas(
             out_dtype=out_dt, math_dtype=math_dt, acc_dtype=acc_dt,
             interpret=interpret,
         )
-        S = S + Ld[:H, :, :W]
+        return (Px, Ld)
     elif num_directions == 5:
         (Ld,) = sgbm_scan_pallas(
             cy, p1, p2, shifts=(0, 1, -1), lane_dir=(False, False, False),
@@ -576,7 +643,7 @@ def sgbm_aggregate_pallas(
             out_dtype=out_dt, math_dtype=math_dt, acc_dtype=acc_dt,
             interpret=interpret,
         )
-        S = S + Ld[:H, :, :W]
+        return (Px, Ld)
     else:
         Ld_f, Ld_b = sgbm_scan_pallas(
             cy, p1, p2, shifts=(0, 1, -1, 0, 1, -1),
@@ -585,8 +652,4 @@ def sgbm_aggregate_pallas(
             out_dtype=out_dt, math_dtype=math_dt, acc_dtype=acc_dt,
             interpret=interpret,
         )
-        S = S + Ld_f[:H, :, :W]
-        S = S + Ld_b[:H, :, :W]
-    if out_layout == "hdw":
-        return S
-    return jnp.transpose(S, (0, 2, 1))
+        return (Px, Ld_f, Ld_b)

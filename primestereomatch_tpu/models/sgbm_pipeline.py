@@ -67,19 +67,33 @@ def stereo_sgbm_forward(
         and 2 * cfg.pre_filter_cap <= 127
         and cost_bound < 2**15
     )
+    S = None
     if use_cost_kernel:
+        from primestereomatch_tpu.kernels.select_pallas import (
+            select_disparity_partials_pallas,
+        )
         from primestereomatch_tpu.kernels.sgbm_pallas import (
             bt_block_cost_pallas,
-            sgbm_aggregate_pallas,
+            sgbm_aggregate_partials_pallas,
         )
 
         C = bt_block_cost_pallas(
             l_ftr, r_ftr, cfg.num_disparities, cfg.block_size,
             cost_bound=cost_bound,
+            # extra zero rows are scan-neutral and make the x-scan's lane
+            # pad a no-op (saves a 1.4 GB copy at 2K)
+            rows_to=-(-H // 128) * 128,
         )
-        S = sgbm_aggregate_pallas(
+        # the aggregated volume S never exists in HBM: the selection
+        # kernel reads the scan groups' uint16 partial sums directly
+        # (bit-identical to select_disparity_hdw(sum(parts)))
+        parts = sgbm_aggregate_partials_pallas(
             C, cfg.p1, cfg.p2, cfg.num_directions, cost_bound=cost_bound,
-            in_layout="dhw", out_layout="hdw", logical_hw=(H, W),
+            in_layout="dhw", logical_hw=(H, W),
+        )
+        disp16 = select_disparity_partials_pallas(
+            parts, (H, W), cfg.uniqueness_ratio, cfg.disp12_max_diff,
+            cfg.min_disparity,
         )
     else:
         C = bt_block_cost(
@@ -102,9 +116,10 @@ def stereo_sgbm_forward(
                 cfg.num_directions, cost_bound=cost_bound,
             )
             S = jnp.transpose(S, (0, 2, 1))
-    disp16 = select_disparity_hdw(
-        S, cfg.uniqueness_ratio, cfg.disp12_max_diff, cfg.min_disparity
-    )
+    if S is not None:
+        disp16 = select_disparity_hdw(
+            S, cfg.uniqueness_ratio, cfg.disp12_max_diff, cfg.min_disparity
+        )
     if cfg.speckle_window_size > 0:
         disp16 = filter_speckles(
             disp16,

@@ -754,9 +754,45 @@ def filter_speckles(
     labels, _, _ = lax.while_loop(cond, body, (labels0, jnp.bool_(True), 0))
     labels = labels[:H, :W]
 
-    areas = jnp.zeros(H * W + 1, jnp.int32).at[labels.reshape(-1)].add(
-        valid.reshape(-1).astype(jnp.int32)
-    )
-    area = areas[labels]
+    if impl == "pallas":
+        # TPU: component areas via sort -> segment-sum -> sort-back.
+        # XLA's scatter-add and gather serialize per element on TPU
+        # (~24 ms EACH for the 2.7M-px area count + areas[labels] at 2K,
+        # hint flags ignored), while lax.sort runs ~10 ms — two sorts plus
+        # vector scans beat one scatter + one gather by ~18 ms. Exact:
+        # pixels of a component are contiguous after sorting by label, the
+        # segment sum counts valid members, and the second sort (keyed by
+        # the carried original index, unique keys) restores pixel order.
+        area = _component_areas_sorted(labels, valid)
+    else:
+        areas = jnp.zeros(H * W + 1, jnp.int32).at[labels.reshape(-1)].add(
+            valid.reshape(-1).astype(jnp.int32)
+        )
+        area = areas[labels]
     speckle = valid & (area <= max_speckle_size)
     return jnp.where(speckle, jnp.int16(invalid_value), disp16)
+
+
+def _component_areas_sorted(labels: jax.Array, valid: jax.Array) -> jax.Array:
+    """Per-pixel component area (count of VALID members of the pixel's
+    label group) with no scatter/gather — see filter_speckles. Identical
+    values to `zeros(N+1).at[labels].add(valid)[labels]`."""
+    H, W = labels.shape
+    flat = labels.reshape(-1)
+    lin = jnp.arange(H * W, dtype=jnp.int32)
+    vf = valid.reshape(-1).astype(jnp.int32)
+    s, pidx, vs = lax.sort((flat, lin, vf), num_keys=1)
+    seg = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
+    csum = jnp.cumsum(vs)
+    # segment total = csum at segment end - csum before segment start,
+    # broadcast to members via max/min scans over the flagged positions
+    before = jnp.where(
+        seg, jnp.concatenate([jnp.zeros(1, jnp.int32), csum[:-1]]), -1
+    )
+    before = lax.associative_scan(jnp.maximum, before)
+    is_end = jnp.concatenate([seg[1:], jnp.ones(1, bool)])
+    at_end = jnp.where(is_end, csum, jnp.int32(1 << 30))
+    at_end = lax.associative_scan(jnp.minimum, at_end[::-1])[::-1]
+    area_sorted = at_end - before
+    _, area = lax.sort((pidx, area_sorted), num_keys=1)
+    return area.reshape(H, W)

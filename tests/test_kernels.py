@@ -495,6 +495,36 @@ def test_bt_block_cost_pallas_matches_op(rng, H, W, D, k):
     assert (got == 0).all(), "padding must be zero (scan-neutral)"
 
 
+@pytest.mark.parametrize("nd", [8, 5, 3])
+@pytest.mark.parametrize("uniq,d12", [(10, 1), (0, -1)])
+def test_sgbm_select_partials_pallas(rng, nd, uniq, d12):
+    """Fused selection from the aggregation's partial sums must be
+    BIT-identical to select_disparity_hdw(sum) — on RANDOM volumes (the
+    regime where wrong-lane diagonal reads diverge, per the round-2
+    advisor finding on the barrel-shift gather) and for all direction
+    modes / uniqueness / LR settings."""
+    from primestereomatch_tpu.kernels.select_pallas import (
+        select_disparity_partials_pallas,
+    )
+    from primestereomatch_tpu.kernels.sgbm_pallas import (
+        sgbm_aggregate_partials_pallas,
+    )
+    from primestereomatch_tpu.ops.sgbm import select_disparity_hdw
+
+    H, W, D = 26, 44, 16
+    bound = 9450
+    C = jnp.asarray(rng.integers(0, bound, (H, W, D)).astype(np.int32))
+    parts = sgbm_aggregate_partials_pallas(
+        C, 600, 2400, nd, cost_bound=bound, interpret=True
+    )
+    S = sum(q[:H, :, :W].astype(jnp.int32) for q in parts)
+    want = np.asarray(select_disparity_hdw(S, uniq, d12, 0))
+    got = np.asarray(select_disparity_partials_pallas(
+        parts, (H, W), uniq, d12, 0, interpret=True
+    ))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_sgbm_padded_cost_to_aggregate(rng):
     """bt_block_cost_pallas's zero-padded volume through the aggregation
     with logical_hw must equal the unpadded XLA pipeline exactly (the

@@ -219,6 +219,26 @@ def test_filter_speckles_serpentine_vs_cv2():
     assert (got != inv).sum() == 527  # the snake survived intact
 
 
+def test_component_areas_sorted_matches_scatter():
+    """The TPU sort->segment-sum->sort-back area path (no scatter/gather)
+    must equal the scatter-add formulation exactly, including invalid
+    pixels grouped in one giant zero-weight segment."""
+    from primestereomatch_tpu.ops.sgbm import _component_areas_sorted
+
+    rng = np.random.default_rng(5)
+    for H, W, nlab in ((24, 40, 6), (37, 129, 500), (16, 256, 1)):
+        labels = jnp.asarray(rng.integers(0, nlab, (H, W)).astype(np.int32))
+        valid = jnp.asarray(rng.random((H, W)) > 0.3)
+        labels = jnp.where(valid, labels, H * W)
+        ref = np.asarray(
+            jnp.zeros(H * W + 1, jnp.int32)
+            .at[labels.reshape(-1)]
+            .add(valid.reshape(-1).astype(jnp.int32))[labels]
+        )
+        got = np.asarray(_component_areas_sorted(labels, valid))
+        np.testing.assert_array_equal(got, ref)
+
+
 def test_filter_speckles_random_vs_cv2():
     """Cross-validate the repo flood-fill oracle itself against OpenCV on a
     dense random field (many touching components, level jumps)."""
