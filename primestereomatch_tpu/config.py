@@ -67,6 +67,15 @@ class GIFConfig:
     # Last-ulp float-contraction differences vs the XLA cost can move
     # knife-edge argmin ties (same tolerance class as wta_impl).
     cvc_impl: str = "auto"       # auto | xla | fused
+    # 'u8' builds the cost volume with the reference's quantized uchar
+    # OpenCL-kernel semantics (assets/cvc.cl:42-126 cvc_uchar_vx + the
+    # CV_8U host prep of src/CVC_cl.cpp:125-131): u8 inputs/gradients,
+    # integer /3 color normalization, TAU_US clamps, uchar cost — the
+    # dead-in-reference capability surface, also an int8-throughput
+    # experiment. The u8 volume feeds the float FGF at /255 scale (the
+    # filter is linear in p, so WTA is scale-invariant). 'f32' is the
+    # golden CPU-path semantics.
+    cvc_dtype: str = "f32"       # f32 | u8
     # disparity-chunk depth of the fused WTA sweep — the runtime
     # parallelism-granularity knob (the reference's '1'-'8' thread-count
     # keys parallelize the same d loop, src/main.cpp:96-195 +

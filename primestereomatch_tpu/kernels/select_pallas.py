@@ -168,24 +168,174 @@ def _select_kernel(
             out_d[...] = jnp.where(invalid, inv_val, disp16)
 
 
+def _select_kernel_1p(
+    *refs,
+    n_parts: int, D: int, DC: int, TH: int, W: int, SH: int,
+    uniqueness_ratio: int, disp12_max_diff: int, min_disparity: int,
+):
+    """Single-pass variant: every volume-wide quantity rides PACKED keys
+    k = (value << SH) | d, so min(k) resolves value ties to the smaller d
+    — exactly the first-min rule — and the walk/argmin each cost one
+    roll/min. The far-set min (uniqueness) comes from a running TOP-4 of
+    packed keys: at most 3 disparities are ever 'near' (d_best - 1 .. + 1),
+    so the 4 smallest keys always contain an entry whose value equals the
+    exact far-min (ties in value make the kept/dropped far entries
+    interchangeable). The d_best -/+ 1 neighbour costs ride a
+    pending-capture: descending arrival order means S[d_best + 1] is the
+    previous plane when the best updates, and S[d_best - 1] is the next
+    plane. Requires (max value << SH) < 2**30 — the caller falls back to
+    the two-pass kernel otherwise."""
+    parts = refs[:n_parts]
+    out_d = refs[n_parts]
+    scr = refs[n_parts + 1]      # (16, TH, Wp) int32 running planes:
+    # [0]=walk key, [1]=best key, [2..5]=top-4 keys, [6]=s_m, [7]=s_p,
+    # [8]=pending (0/1), [9]=prev plane
+    c = pl.program_id(1)
+    n_dc = pl.num_programs(1)
+    Wp = out_d.shape[-1]
+    BIGK = jnp.int32(1 << 30)
+
+    S = parts[0][...].astype(jnp.int32)
+    for k in range(1, n_parts):
+        S = S + parts[k][...].astype(jnp.int32)          # (TH, DC, Wp)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TH, Wp), 1)
+    in_w = lane < W
+
+    @pl.when(c == 0)
+    def _():
+        for i in range(6):
+            scr[i] = jnp.full((TH, Wp), BIGK)
+        scr[6] = jnp.full((TH, Wp), BIGK)
+        scr[7] = jnp.full((TH, Wp), BIGK)
+        scr[8] = jnp.zeros((TH, Wp), jnp.int32)
+        scr[9] = jnp.zeros((TH, Wp), jnp.int32)
+
+    wk = scr[0]
+    bk = scr[1]
+    k1, k2, k3, k4 = scr[2], scr[3], scr[4], scr[5]
+    s_m = scr[6]
+    s_p = scr[7]
+    pend = scr[8]
+    prev = scr[9]
+    d0 = D - (c + 1) * DC
+    for k in range(DC - 1, -1, -1):
+        d_cur = jnp.int32(d0 + k)
+        plane = S[:, k, :]
+        key = (plane << SH) | d_cur
+        key_w = jnp.where(in_w, key, BIGK)
+        # diagonal walk: one lane shift + one min (BIG enters at W-1)
+        wk = jnp.minimum(
+            jnp.where(lane >= W - 1, BIGK, pltpu.roll(wk, Wp - 1, axis=1)),
+            key_w,
+        )
+        # d_best -1 neighbour: the plane AFTER the best-setting step
+        s_m = jnp.where(pend > 0, plane, s_m)
+        take = key < bk
+        bk = jnp.minimum(bk, key)
+        # d_best +1 neighbour: the plane BEFORE it (clipped: the plane
+        # itself at the very first step, d = D-1)
+        if k == DC - 1:
+            sp_src = jnp.where(c == 0, plane, prev)
+        else:
+            sp_src = prev
+        s_p = jnp.where(take, sp_src, s_p)
+        pend = jnp.where(take, 1, 0)
+        prev = plane
+        # top-4 smallest keys (insertion network)
+        lo1 = jnp.minimum(k1, key)
+        hi1 = jnp.maximum(k1, key)
+        lo2 = jnp.minimum(k2, hi1)
+        hi2 = jnp.maximum(k2, hi1)
+        lo3 = jnp.minimum(k3, hi2)
+        hi3 = jnp.maximum(k3, hi2)
+        lo4 = jnp.minimum(k4, hi3)
+        k1, k2, k3, k4 = lo1, lo2, lo3, lo4
+    scr[0] = wk
+    scr[1] = bk
+    scr[2], scr[3], scr[4], scr[5] = k1, k2, k3, k4
+    scr[6] = s_m
+    scr[7] = s_p
+    scr[8] = pend
+    scr[9] = prev
+
+    @pl.when(c == n_dc - 1)
+    def _():
+        dmask = jnp.int32((1 << SH) - 1)
+        db = bk & dmask
+        sb = bk >> SH
+        rd = wk & dmask
+        # pending still set means d_best == 0: dm_i clips to 0 -> s_best
+        s_m2 = jnp.where(pend > 0, sb, s_m)
+        # far-set min from the top-4 (BIGK >> SH marks 'no far entry')
+        s_alt = jnp.full((TH, Wp), BIGK >> SH)
+        for kk in (k1, k2, k3, k4):
+            dk = kk & dmask
+            far = jnp.abs(dk - db) > 1
+            s_alt = jnp.where(far, jnp.minimum(s_alt, kk >> SH), s_alt)
+        not_unique = (s_alt < (BIGK >> SH)) & (
+            s_alt * (100 - uniqueness_ratio) < sb * 100
+        )
+        denom = s_m2 + s_p - 2 * sb
+        interior = (db > 0) & (db < D - 1) & (denom > 0)
+        frac = jnp.where(
+            interior,
+            jnp.rint(
+                (s_m2 - s_p).astype(jnp.float32) * 8.0
+                / jnp.maximum(denom, 1).astype(jnp.float32)
+            ).astype(jnp.int32),
+            0,
+        )
+        disp16 = (db + min_disparity) * 16 + frac
+        inv_val = jnp.int32((min_disparity - 1) * 16)
+        invalid = not_unique
+        if disp12_max_diff >= 0:
+            # rd sampled at x - d_best: D masked dynamic lane rolls on the
+            # small (TH, Wp) planes (positive shifts only; fori_loop — a
+            # static unroll put ~10 MB of roll temporaries on the stack)
+            rd_at = jax.lax.fori_loop(
+                0, D,
+                lambda d, acc: jnp.where(
+                    db == d, pltpu.roll(rd, d, axis=1), acc
+                ),
+                jnp.zeros((TH, Wp), jnp.int32),
+            )
+            x = lane
+            lr_bad = (jnp.abs(rd_at - db) > disp12_max_diff) & (x - db >= 0)
+            lr_bad = lr_bad | ((x - db < 0) & (db > 0))
+            invalid = invalid | lr_bad
+        out_d[...] = jnp.where(invalid, inv_val, disp16)
+
+
 def select_disparity_partials_pallas(
     parts: tuple,              # (rows>=H, D, lanes>=W)-layout int tensors
     hw: tuple[int, int],       # logical (H, W)
     uniqueness_ratio: int,
     disp12_max_diff: int,
     min_disparity: int = 0,
+    value_bound: int | None = None,  # static bound on sum(parts) values
     interpret: bool = False,
 ) -> jax.Array:
     """Bit-identical to `select_disparity_hdw(sum(parts)[:H, :, :W], ...)`
     without ever materializing the int32 sum in HBM. Each part is an
     (H', D, W')-layout integer tensor with H' >= H rows and W' >= W lanes
     (extra rows/lanes hold finite junk — the aggregation kernels'
-    zero-padded scan outputs qualify). Returns (H, W) int16, 16x scale."""
+    zero-padded scan outputs qualify). Returns (H, W) int16, 16x scale.
+
+    With `value_bound` (and (bound+1) << ceil(log2(D)) < 2**30 — every
+    reference parameter set qualifies) the SINGLE-PASS packed-key kernel
+    runs: half the partial-sum DMA of the two-pass form."""
     H, W = hw
     D = parts[0].shape[1]
     if any(q.shape[1] != D for q in parts):
         raise ValueError("partials disagree on D")
-    DC = min(32, D)
+    SH = max(1, (D - 1).bit_length())
+    one_pass = (
+        value_bound is not None and ((value_bound + 1) << SH) < (1 << 30)
+    )
+    # one-pass holds ~12 extra running planes + the widened S chunk in
+    # VMEM: DC=32 put the 2K launch ~6 MB over the 16 MB stack
+    DC = min(16 if one_pass else 32, D)
     while D % DC:
         DC //= 2
     # output blocks are (TH, Wp) so TH must be sublane-divisible; the
@@ -211,6 +361,29 @@ def select_disparity_partials_pallas(
         return q
 
     parts = tuple(fit(q) for q in parts)
+
+    if one_pass:
+        kernel = functools.partial(
+            _select_kernel_1p, n_parts=len(parts), D=D, DC=DC, TH=TH, W=W,
+            SH=SH, uniqueness_ratio=uniqueness_ratio,
+            disp12_max_diff=disp12_max_diff, min_disparity=min_disparity,
+        )
+        in_specs = [
+            pl.BlockSpec(
+                (TH, DC, Wp), lambda i, c, n=n_dc: (i, n - 1 - c, 0)
+            )
+            for _ in parts
+        ]
+        out = pl.pallas_call(
+            kernel,
+            grid=(Hp // TH, n_dc),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((TH, Wp), lambda i, c: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((16, TH, Wp), jnp.int32)],
+            interpret=interpret,
+        )(*parts)
+        return out[:H, :W].astype(jnp.int16)
 
     kernel = functools.partial(
         _select_kernel, n_parts=len(parts), D=D, DC=DC, TH=TH, W=W,

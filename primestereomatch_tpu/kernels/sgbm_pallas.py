@@ -304,8 +304,9 @@ def sgbm_scan_pallas(
 def _bt_cost_kernel(
     l_ref,          # (9, TH + k - 1, Wp) int8: l_ftr/l_min/l_max x 3 ch
     r_ref,          # (9, TH + k - 1, Wp) int8: r_min/r_max/r_ftr x 3 ch
-    out_ref,        # (DC, TH, Wp) int16/int32 block cost
+    out_ref,        # (DC, TH, Wp) or (TH, DC, Wp) int16/int32 block cost
     *, k: int, DC: int, TH: int, H: int, W: int, out_dtype,
+    out_layout: str = "dhw",
 ):
     """One (row-tile, d-chunk) cell of the fused BT + block-sum cost.
 
@@ -344,6 +345,7 @@ def _bt_cost_kernel(
     out_row = jax.lax.broadcasted_iota(jnp.int32, (TH, Wp), 0) + row0
     out_lane = jax.lax.broadcasted_iota(jnp.int32, (TH, Wp), 1)
 
+    hs_all = []
     for j in range(DC):
         d = d0 + j
         rolled = _roll_static(base, j) if j else base
@@ -372,7 +374,17 @@ def _bt_cost_kernel(
         # zero the padding (lanes >= W, rows >= H): zero cost rows are
         # scan-neutral for the aggregation kernels
         hs = jnp.where((out_lane >= W) | (out_row >= H), 0, hs)
-        out_ref[j] = hs.astype(out_dtype)
+        if out_layout == "hdw":
+            # stores ride in stacked groups of 8 sublanes: per-j
+            # single-sublane stores measured ~10 ms slower at 2K/d=256,
+            # and stacking all DC at once overflows VMEM
+            hs_all.append(hs.astype(out_dtype))
+            if len(hs_all) == min(8, DC):
+                j0 = j + 1 - len(hs_all)
+                out_ref[:, j0 : j + 1, :] = jnp.stack(hs_all, axis=1)
+                hs_all = []
+        else:
+            out_ref[j] = hs.astype(out_dtype)
 
 
 def _roll_static(x, sh: int):
@@ -384,7 +396,7 @@ def _roll_static(x, sh: int):
 @functools.partial(
     jax.jit,
     static_argnames=("max_dis", "block_size", "cost_bound", "rows_to",
-                     "interpret"),
+                     "out_layout", "interpret"),
 )
 def bt_block_cost_pallas(
     l_ftr: jax.Array,          # (H, W, C=3) int32 prefiltered features
@@ -393,10 +405,15 @@ def bt_block_cost_pallas(
     block_size: int,
     cost_bound: int | None = None,
     rows_to: int | None = None,  # zero-pad output rows to (at least) this
+    out_layout: str = "dhw",     # "dhw" (D, Hp, Wp) | "hdw" (Hp, D, Wp)
     interpret: bool = False,
 ) -> jax.Array:
     """Fused BT pixel cost + block window sum as ONE Pallas launch,
     returning (D, Hp, Wp) with zeroed padding (Hp/Wp = tile-rounded H/W).
+    out_layout='hdw' emits (Hp, D, Wp) instead — the y-scan operand layout,
+    so the aggregation's (H, D, W) transpose disappears (a 2.8 GB
+    HBM round-trip at 2K/d=256; the in-kernel store pattern change is
+    VMEM-local).
 
     Value-identical on the logical (D, H, W) region to
     `ops/sgbm.py::bt_block_cost(..., out_layout='dhw')`. The XLA fusion of
@@ -418,7 +435,9 @@ def bt_block_cost_pallas(
     out_dt = jnp.int16 if (cost_bound is not None and cost_bound < 2**15) else jnp.int32
 
     TH = _BT_TH   # halo recompute = (TH + k - 1)/TH; 16 wastes ~25% vs 8's 100%
-    DC = min(_BT_DC, max_dis)
+    # hdw halves the d chunk: the grouped stacked stores' staging planes
+    # put the DC=32 launch ~0.7 MB over the 16 MB VMEM stack at 2K
+    DC = min(_BT_DC if out_layout == "dhw" else _BT_DC // 2, max_dis)
     while max_dis % DC:
         DC //= 2
     # rows_to: emitting the extra zero rows here (scan-neutral) lets the
@@ -463,7 +482,14 @@ def bt_block_cost_pallas(
 
     kernel = functools.partial(
         _bt_cost_kernel, k=k, DC=DC, TH=TH, H=H, W=W, out_dtype=out_dt,
+        out_layout=out_layout,
     )
+    if out_layout == "hdw":
+        out_spec = pl.BlockSpec((TH, DC, Wp), lambda h, d: (h, d, 0))
+        out_shape = jax.ShapeDtypeStruct((Hp, max_dis, Wp), out_dt)
+    else:
+        out_spec = pl.BlockSpec((DC, TH, Wp), lambda h, d: (d, h, 0))
+        out_shape = jax.ShapeDtypeStruct((max_dis, Hp, Wp), out_dt)
     return pl.pallas_call(
         kernel,
         grid=(GH, GD),
@@ -471,8 +497,8 @@ def bt_block_cost_pallas(
             pl.BlockSpec((9, TI, Wp), lambda h, d: (0, h, 0)),
             pl.BlockSpec((9, TI, Wp), lambda h, d: (0, h, 0)),
         ],
-        out_specs=pl.BlockSpec((DC, TH, Wp), lambda h, d: (d, h, 0)),
-        out_shape=jax.ShapeDtypeStruct((max_dis, Hp, Wp), out_dt),
+        out_specs=out_spec,
+        out_shape=out_shape,
         interpret=interpret,
     )(lov, rov)
 
@@ -521,6 +547,10 @@ def sgbm_aggregate_pallas(
         D, H, W = cost.shape
         if logical_hw is not None:
             H, W = logical_hw
+    elif in_layout == "hdw":
+        H, D, W = cost.shape
+        if logical_hw is not None:
+            H, W = logical_hw
     else:
         H, W, D = cost.shape
     S = parts[0][:H, :, :W].astype(jnp.int32)
@@ -559,6 +589,10 @@ def sgbm_aggregate_partials_pallas(
         D, H, W = cost.shape
         if logical_hw is not None:
             H, W = logical_hw
+    elif in_layout == "hdw":
+        H, D, W = cost.shape
+        if logical_hw is not None:
+            H, W = logical_hw
     else:
         H, W, D = cost.shape
     if num_directions not in (3, 5, 8):
@@ -587,6 +621,8 @@ def sgbm_aggregate_partials_pallas(
     # (zero cost) are scan-neutral, line-axis lanes pad to the 128 tile
     if in_layout == "dhw":
         cx = jnp.transpose(cost, (2, 0, 1))
+    elif in_layout == "hdw":
+        cx = jnp.transpose(cost, (2, 1, 0))
     else:
         cx = jnp.transpose(cost, (1, 2, 0))
     cx = jnp.pad(
@@ -600,24 +636,30 @@ def sgbm_aggregate_partials_pallas(
     )
     # x-scan pair: sum BEFORE the transpose, at uint16 when the bound
     # allows (each group is one lane, <= l_bound) — half the transpose
-    # bytes; rows pad to the lane tile so the transpose output is the
-    # (rows, D, lanes) layout the select kernel consumes directly
+    # bytes. The scan-padding rows beyond W are KEPT (their values are
+    # finite junk the select kernel masks per its lanes >= W contract),
+    # so no slice/re-pad copies: only the scans' R-padding tail (rarely
+    # present) is trimmed to the lane tile.
     pair_dt = (
         jnp.uint16
         if (l_bound is not None and 2 * l_bound < 2**16
             and out_dt == jnp.uint16)
         else jnp.int32
     )
-    Sx = Lx_f[:W].astype(pair_dt) + Lx_b[:W].astype(pair_dt)
-    Sx = jnp.pad(Sx, ((0, _round_up(W, 128) - W), (0, 0), (0, 0)))
-    Px = jnp.transpose(Sx, (2, 1, 0))       # (lanes_H >= H, D, W_pad)
+    Tx = cx.shape[0]                        # trim only the scans' R padding
+    Sx = Lx_f[:Tx].astype(pair_dt) + Lx_b[:Tx].astype(pair_dt)
+    Px = jnp.transpose(Sx, (2, 1, 0))       # (lanes >= H, D, rows_W >= W)
 
     # y-scans: T = H, line axis = W -> (H, D, W). Scan rows pad to the
     # sublane tile (zero rows are scan-neutral) so the partial outputs
     # directly satisfy the select kernel's rows >= round_up(H, 8)
-    # contract; the pad fuses into the transpose.
+    # contract; the pad fuses into the transpose. in_layout='hdw' (the
+    # bt_block_cost_pallas out_layout='hdw' handoff) needs NO transpose
+    # at all here.
     if in_layout == "dhw":
         cy = jnp.transpose(cost, (1, 0, 2))
+    elif in_layout == "hdw":
+        cy = cost
     else:
         cy = jnp.transpose(cost, (0, 2, 1))
     cy = jnp.pad(

@@ -132,6 +132,7 @@ def stereo_gif_forward(
     pp_probe = _pcp(len(xi), W)
     fuse_cvc = (
         cfg.cvc_impl in ("auto", "fused")
+        and cfg.cvc_dtype == "f32"
         and wta_impl == "pallas"
         and cfg.max_dis % _wta_dc(cfg) == 0
         and pp_probe is not None and pp_probe["exact"]
@@ -142,7 +143,29 @@ def stereo_gif_forward(
     )
     if cfg.cvc_impl == "xla":
         fuse_cvc = False
-    if not fuse_cvc:
+    if cfg.cvc_dtype == "u8":
+        # quantized uchar-kernel variant (see GIFConfig.cvc_dtype): build
+        # the full-res u8 volumes with the .cl semantics, sample to the
+        # FGF grid, feed the float chain at /255 scale
+        from primestereomatch_tpu.ops.color import (
+            bgr_to_gray_refquirk_u8,
+            sobel_x_k1_u8,
+        )
+        from primestereomatch_tpu.ops.cost_volume import build_cost_volumes_u8
+        from primestereomatch_tpu.ops.resize import resize_nearest
+
+        l_u8 = _to_u8(l_img)
+        r_u8 = _to_u8(r_img)
+        lcv8, rcv8 = build_cost_volumes_u8(
+            l_u8, r_u8,
+            sobel_x_k1_u8(bgr_to_gray_refquirk_u8(l_u8)),
+            sobel_x_k1_u8(bgr_to_gray_refquirk_u8(r_u8)),
+            cfg.max_dis, alpha=cfg.alpha,
+        )
+        low_hw = (len(yi), len(xi))
+        lcv_low = resize_nearest(lcv8, low_hw).astype(jnp.float32) / 255.0
+        rcv_low = resize_nearest(rcv8, low_hw).astype(jnp.float32) / 255.0
+    elif not fuse_cvc:
         lcv_low, rcv_low = build_cost_volumes_sampled(
             l_img, r_img, l_grd, r_grd, cfg.max_dis, yi, xi,
             alpha=cfg.alpha, border_cost=cfg.border_cost,

@@ -81,7 +81,10 @@ def stereo_sgbm_forward(
             l_ftr, r_ftr, cfg.num_disparities, cfg.block_size,
             cost_bound=cost_bound,
             # extra zero rows are scan-neutral and make the x-scan's lane
-            # pad a no-op (saves a 1.4 GB copy at 2K)
+            # pad a no-op (saves a 1.4 GB copy at 2K). NOTE out_layout
+            # stays 'dhw': emitting the y-scan-ready 'hdw' layout from the
+            # cost kernel costs ~6 ms of strided stores at 2K vs the
+            # ~4.8 ms transpose it saves (measured) — net loss.
             rows_to=-(-H // 128) * 128,
         )
         # the aggregated volume S never exists in HBM: the selection
@@ -94,6 +97,8 @@ def stereo_sgbm_forward(
         disp16 = select_disparity_partials_pallas(
             parts, (H, W), cfg.uniqueness_ratio, cfg.disp12_max_diff,
             cfg.min_disparity,
+            # static S bound enables the single-pass packed-key kernel
+            value_bound=cfg.num_directions * (cost_bound + cfg.p2),
         )
     else:
         C = bt_block_cost(

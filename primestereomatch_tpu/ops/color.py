@@ -41,3 +41,29 @@ def sobel_x_k1(gray: jax.Array) -> jax.Array:
     left = jnp.concatenate([gray[..., :, 1:2], gray[..., :, :-1]], axis=-1)
     right = jnp.concatenate([gray[..., :, 1:], gray[..., :, -2:-1]], axis=-1)
     return right - left
+
+
+def bgr_to_gray_refquirk_u8(img_u8: jax.Array) -> jax.Array:
+    """uint8 gray with OpenCV's fixed-point CV_RGB2GRAY math applied to
+    BGR-ordered data (the same channel-order quirk as the float path).
+
+    OpenCV's 8-bit cvtColor uses 14-bit fixed-point coefficients with
+    round-half-up: gray = (c0*4899 + c1*9617 + c2*1868 + 8192) >> 14
+    (R2Y/G2Y/B2Y at CV_DESCALE precision). This is the input the
+    reference's commented-out uchar OpenCL path would see
+    (src/CVC_cl.cpp:125-131)."""
+    x = img_u8.astype(jnp.int32)
+    return (
+        (x[..., 0] * 4899 + x[..., 1] * 9617 + x[..., 2] * 1868 + (1 << 13))
+        >> 14
+    ).astype(jnp.uint8)
+
+
+def sobel_x_k1_u8(gray_u8: jax.Array) -> jax.Array:
+    """cv::Sobel(..., CV_8U, 1, 0, 1) on uint8: central difference with
+    reflect-101 borders, SATURATED to [0, 255] — negative gradients clamp
+    to 0 (the reference uchar path's prep, src/CVC_cl.cpp:128-129)."""
+    x = gray_u8.astype(jnp.int32)
+    left = jnp.concatenate([x[..., :, 1:2], x[..., :, :-1]], axis=-1)
+    right = jnp.concatenate([x[..., :, 1:], x[..., :, -2:-1]], axis=-1)
+    return jnp.clip(right - left, 0, 255).astype(jnp.uint8)

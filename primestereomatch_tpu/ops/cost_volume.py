@@ -346,3 +346,81 @@ def build_cost_volume_block(
         r_slices.append(jnp.where(x < W - d, cr, r_border))
 
     return jnp.stack(l_slices), jnp.stack(r_slices)
+
+
+def build_cost_volumes_u8(
+    l_bgr_u8: jax.Array,   # (H, W, 3) uint8 (BGR as loaded)
+    r_bgr_u8: jax.Array,
+    l_grd_u8: jax.Array,   # (H, W) uint8 saturated Sobel (ops/color.py)
+    r_grd_u8: jax.Array,
+    max_dis: int,
+    alpha: float = 0.9,
+    tau1_us: int = 1835,   # TAU_1_US, assets/cvc.cl:26 (0.028 * USHRT_MAX)
+    tau2_us: int = 524,    # TAU_2_US, assets/cvc.cl:27
+) -> tuple[jax.Array, jax.Array]:
+    """Quantized uint8 CVC — the capability surface of the reference's
+    (shipped-commented-out) uchar OpenCL kernels, assets/cvc.cl:42-126
+    (cvc_uchar_vx) with the CV_8U host prep of src/CVC_cl.cpp:125-131.
+
+    Per-disparity cost in uint8:
+
+      clr = (|dR| + |dG| + |dB|) / 3        (integer division)
+      grd = |dGrdX|                          (u8 gradients)
+      cost = uchar(ALPHA*clr + (1-ALPHA)*grd) (float mul, C-cast truncation)
+
+    with the TAU_US clamps applied first (they are dead for in-range u8
+    values — 1835/524 > 255 — but kept configurable for parity), and
+    out-of-range matches reading UCHAR_MAX for every other-view operand
+    (the u8 analog of the float border cost). Both views use the LR
+    kernel's integer /3; the reference RL loop's `* 0.333f` truncation and
+    its rGrdX row-start indexing slip (assets/cvc.cl:103-107) are NOT
+    replicated — this follows the repo convention of not reproducing
+    reference bugs (cf. the sprintf and waitKey cases).
+
+    Returns (left_cv, right_cv) uint8 (max_dis, H, W). Scale-compatible
+    with the float pipeline via /255 (the guided filter is linear in p, so
+    WTA argmin is scale-invariant)."""
+    H, W, _ = l_bgr_u8.shape
+    x = jnp.arange(W)[None, :]
+    UMAX = jnp.int32(255)
+
+    def pcost(a_img, b_img, a_grd, b_grd):
+        clr = (
+            jnp.abs(a_img[..., 0] - b_img[..., 0])
+            + jnp.abs(a_img[..., 1] - b_img[..., 1])
+            + jnp.abs(a_img[..., 2] - b_img[..., 2])
+        ) // 3
+        grd = jnp.abs(a_grd - b_grd)
+        clr = jnp.minimum(clr, tau1_us)
+        grd = jnp.minimum(grd, tau2_us)
+        # float mul then C-cast truncation toward zero (values >= 0)
+        return (
+            alpha * clr.astype(jnp.float32)
+            + (1.0 - alpha) * grd.astype(jnp.float32)
+        ).astype(jnp.uint8)
+
+    li = l_bgr_u8.astype(jnp.int32)
+    ri = r_bgr_u8.astype(jnp.int32)
+    lg = l_grd_u8.astype(jnp.int32)
+    rg = r_grd_u8.astype(jnp.int32)
+
+    l_border = pcost(li, jnp.full_like(li, UMAX), lg, jnp.full_like(lg, UMAX))
+    r_border = pcost(ri, jnp.full_like(ri, UMAX), rg, jnp.full_like(rg, UMAX))
+
+    ri_p = jnp.pad(ri, ((0, 0), (max_dis, 0), (0, 0)))
+    rg_p = jnp.pad(rg, ((0, 0), (max_dis, 0)))
+    li_p = jnp.pad(li, ((0, 0), (0, max_dis), (0, 0)))
+    lg_p = jnp.pad(lg, ((0, 0), (0, max_dis)))
+
+    l_slices = []
+    r_slices = []
+    for d in range(max_dis):
+        rb = ri_p[:, max_dis - d : max_dis - d + W]
+        rgb = rg_p[:, max_dis - d : max_dis - d + W]
+        cl = pcost(li, rb, lg, rgb)
+        l_slices.append(jnp.where(x >= d, cl, l_border))
+        lb = li_p[:, d : d + W]
+        lgb = lg_p[:, d : d + W]
+        cr = pcost(ri, lb, rg, lgb)
+        r_slices.append(jnp.where(x < W - d, cr, r_border))
+    return jnp.stack(l_slices), jnp.stack(r_slices)

@@ -153,4 +153,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--profile" in sys.argv:
+        # measured per-kernel roofline table (updates SCALING.md)
+        from kernel_roofline import run as profile_run
+
+        profile_run(update_scaling_md=True)
+    else:
+        main()

@@ -96,7 +96,8 @@ print(f"aggregate partials ({cfg.num_directions} dirs): "
 
 selp = jax.jit(lambda ps: select_disparity_partials_pallas(
     tuple(ps), (H, W), cfg.uniqueness_ratio, cfg.disp12_max_diff,
-    cfg.min_disparity))
+    cfg.min_disparity,
+    value_bound=cfg.num_directions * (cost_bound + cfg.p2)))
 d16 = selp(parts)
 print(f"select kernel (from partials): {timeit(lambda: selp(parts)):.2f} ms",
       flush=True)

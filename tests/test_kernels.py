@@ -523,6 +523,12 @@ def test_sgbm_select_partials_pallas(rng, nd, uniq, d12):
         parts, (H, W), uniq, d12, 0, interpret=True
     ))
     np.testing.assert_array_equal(got, want)
+    # single-pass packed-key kernel (value_bound enables it): same bits
+    got1p = np.asarray(select_disparity_partials_pallas(
+        parts, (H, W), uniq, d12, 0,
+        value_bound=nd * (bound + 2400), interpret=True,
+    ))
+    np.testing.assert_array_equal(got1p, want)
 
 
 def test_sgbm_padded_cost_to_aggregate(rng):
@@ -552,3 +558,20 @@ def test_sgbm_padded_cost_to_aggregate(rng):
         in_layout="dhw", out_layout="hdw", logical_hw=(H, W),
     ))
     np.testing.assert_array_equal(got, want)
+    # the pipeline's zero-copy handoff: hdw cost layout (y-scan-ready,
+    # emitted by the cost kernel) with padded rows must stay identical
+    Ch = bt_block_cost_pallas(
+        lf, rf, D, k, cost_bound=bound, rows_to=128, out_layout="hdw",
+        interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(Ch), np.transpose(np.asarray(
+            bt_block_cost_pallas(lf, rf, D, k, cost_bound=bound,
+                                 rows_to=128, interpret=True)
+        ), (1, 0, 2)),
+    )
+    got_h = np.asarray(sgbm_aggregate_pallas(
+        Ch, 600, 2400, 8, cost_bound=bound, interpret=True,
+        in_layout="hdw", out_layout="hdw", logical_hw=(H, W),
+    ))
+    np.testing.assert_array_equal(got_h, want)

@@ -346,3 +346,90 @@ class TestFeatureIndexing:
             assert w.shape == (256, 256)
             assert np.all(np.isfinite(w))
             np.testing.assert_allclose(w, w.T)
+
+
+class TestU8CostVolume:
+    """Quantized uchar CVC variant (assets/cvc.cl:42-126 semantics)."""
+
+    def test_matches_cl_oracle(self, rng):
+        """Bit-exact vs a direct NumPy transcription of cvc_uchar_vx's LR
+        loop math (integer /3, TAU_US clamps, float mul, uchar trunc)."""
+        from primestereomatch_tpu.ops.cost_volume import build_cost_volumes_u8
+
+        H, W, D = 14, 26, 6
+        l = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+        r = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+        lg = rng.integers(0, 256, (H, W), dtype=np.uint8)
+        rg = rng.integers(0, 256, (H, W), dtype=np.uint8)
+        lcv, rcv = build_cost_volumes_u8(
+            jnp.asarray(l), jnp.asarray(r), jnp.asarray(lg), jnp.asarray(rg), D
+        )
+        assert lcv.dtype == jnp.uint8 and rcv.dtype == jnp.uint8
+
+        def cost(a, b, ag, bg):
+            clr = (
+                abs(int(a[0]) - int(b[0]))
+                + abs(int(a[1]) - int(b[1]))
+                + abs(int(a[2]) - int(b[2]))
+            ) // 3
+            grd = abs(int(ag) - int(bg))
+            clr = min(clr, 1835)
+            grd = min(grd, 524)
+            return np.uint8(np.float32(0.9) * np.float32(clr)
+                            + np.float32(1.0 - 0.9) * np.float32(grd))
+
+        lcv_np = np.asarray(lcv)
+        rcv_np = np.asarray(rcv)
+        B = (255, 255, 255)
+        for d in (0, 1, 5):
+            for y in (0, 7, H - 1):
+                for x in (0, 1, d, W - d - 1, W - 1):
+                    if x - d >= 0:
+                        want = cost(l[y, x], r[y, x - d], lg[y, x], rg[y, x - d])
+                    else:
+                        want = cost(l[y, x], B, lg[y, x], 255)
+                    assert lcv_np[d, y, x] == want, (d, y, x)
+                    if x + d < W:
+                        want = cost(r[y, x], l[y, x + d], rg[y, x], lg[y, x + d])
+                    else:
+                        want = cost(r[y, x], B, rg[y, x], 255)
+                    assert rcv_np[d, y, x] == want, (d, y, x)
+
+    def test_u8_gray_sobel_match_cv2(self, rng):
+        """u8 prep equals OpenCV's fixed-point cvtColor + CV_8U Sobel."""
+        cv2 = pytest.importorskip("cv2")
+        from primestereomatch_tpu.ops.color import (
+            bgr_to_gray_refquirk_u8,
+            sobel_x_k1_u8,
+        )
+
+        img = rng.integers(0, 256, (20, 33, 3), dtype=np.uint8)
+        # the reference feeds BGR data to an RGB2GRAY conversion. This
+        # repo implements the classic 14-bit fixed-point round-half-up
+        # cvtColor math; cv2 builds with IPP dispatch round a fraction of
+        # pixels one ulp differently — allow that
+        want_gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+        got_gray = np.asarray(bgr_to_gray_refquirk_u8(jnp.asarray(img)))
+        diff = np.abs(got_gray.astype(int) - want_gray.astype(int))
+        assert diff.max() <= 1 and (diff != 0).mean() <= 0.01
+        want_grad = cv2.Sobel(want_gray, cv2.CV_8U, 1, 0, ksize=1)
+        got_grad = np.asarray(sobel_x_k1_u8(jnp.asarray(want_gray)))
+        np.testing.assert_array_equal(got_grad, want_grad)
+
+    def test_pipeline_u8_variant(self, teddy):
+        """cvc_dtype='u8' runs end-to-end and produces a sane disparity
+        (quantized costs shift knife-edge argmins, so quality is close to
+        but not equal to the f32 golden path)."""
+        from primestereomatch_tpu.config import GIFConfig
+        from primestereomatch_tpu.models.gif_pipeline import stereo_gif_forward
+        from primestereomatch_tpu.utils.eval import bad_pixel_metrics
+
+        cfg = GIFConfig(cvc_dtype="u8")
+        ld, _ = stereo_gif_forward(
+            jnp.asarray(teddy.left_f32), jnp.asarray(teddy.right_f32), cfg
+        )
+        res = bad_pixel_metrics(
+            np.asarray(ld), teddy.gt, teddy.scale_factor, 64,
+            mask=teddy.mask_nonocc,
+        )
+        assert res.percent_bad_pixels < 25.0  # f32 golden path: ~17.2
