@@ -33,6 +33,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 16
 TILE_W = 128
+# tuning hooks (see sweep notes in the module docstring)
+_DBUF_DT = None      # None = int16; jnp.int32 fallback for wide ranges
+_PROBE_B = None      # offsets per pass-2 reduce trip (None = win)
 # extended (haloed) tile dims rounded up to the f32 VMEM tiling (8, 128):
 # HBM->VMEM DMA slice shapes must be tile-aligned
 def _ext_dims(radius: int) -> tuple[int, int]:
@@ -98,7 +101,7 @@ def _wmf_kernel(
             dist2 = diff[0] * diff[0] + diff[1] * diff[1] + diff[2] * diff[2]
             w = jnp.exp(-dist2 * inv_two_sig2) * vq
             wbuf[o] = w
-            dbuf[o] = dq.astype(jnp.int16)
+            dbuf[o] = dq.astype(dbuf.dtype)
             total = total + w
     half = total * 0.5
 
@@ -126,18 +129,26 @@ def _wmf_kernel(
         width = width // 2
         mid = (ans + (width - 1))[None]
 
-        # probe in blocks of `win` offsets: fewer loop trips, vector
+        # probe in blocks of `pb` offsets: fewer loop trips, vector
         # reduce; the compare widens to i32 (no 16-bit vector cmp here)
-        # but the VMEM reads stay 16-bit
+        # but the VMEM reads stay narrow
+        pb = _PROBE_B or win
+        nb = (win * win) // pb
+        rem = win * win - nb * pb
+
         def cum_body(b, acc, mid=mid):
-            wblk = wbuf[pl.ds(b * win, win)]
-            dblk = dbuf[pl.ds(b * win, win)].astype(jnp.int32)
+            wblk = wbuf[pl.ds(b * pb, pb)]
+            dblk = dbuf[pl.ds(b * pb, pb)].astype(jnp.int32)
             inc = jnp.where(dblk <= mid, wblk, 0.0)
             return acc + jnp.sum(inc, axis=0)
 
         cum = jax.lax.fori_loop(
-            0, win, cum_body, jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            0, nb, cum_body, jnp.zeros((TILE_H, TILE_W), jnp.float32)
         )
+        if rem:
+            wblk = wbuf[pl.ds(nb * pb, rem)]
+            dblk = dbuf[pl.ds(nb * pb, rem)].astype(jnp.int32)
+            cum = cum + jnp.sum(jnp.where(dblk <= mid, wblk, 0.0), axis=0)
         return width, jnp.where(cum < half, ans + width, ans)
 
     _, ans = jax.lax.while_loop(
@@ -219,7 +230,7 @@ def _wmf_pallas_batched(
             pltpu.VMEM((win, 3, eh_ew[0], TILE_W), jnp.float32),  # cshift
             pltpu.VMEM((win, eh_ew[0], TILE_W), jnp.float32),     # vshift
             pltpu.VMEM((win * win, TILE_H, TILE_W), jnp.float32),
-            pltpu.VMEM((win * win, TILE_H, TILE_W), jnp.int16),
+            pltpu.VMEM((win * win, TILE_H, TILE_W), _DBUF_DT or jnp.int16),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,

@@ -107,24 +107,33 @@ def sgbm_kernel_bytes(H, W, D):
     GH = Hp // TH
     TI = _round_up(TH + k - 1, 8)
     out["bt block cost"] = GH * 2 * 9 * TI * Wp + D * Hp * Wp * 2
-    # scans: cost read once per orientation, 4 group outputs u16
-    out["aggregation scans"] = 2 * (D * Hp * Wp * 2) + 4 * (D * Hp * Wp * 2)
-    # select: 3 partials read twice (2 passes), disp out
-    out["select (partials)"] = 2 * 3 * (D * Hp * Wp * 2) + Hp * Wp * 4
+    # scans: the cost streams once per launch (x fwd / x bwd split +
+    # y fwd-group / y bwd-group), 4 group outputs u16
+    out["aggregation scans"] = 4 * (D * Hp * Wp * 2) + 4 * (D * Hp * Wp * 2)
+    # select: single-pass packed-key kernel — 3 partials read ONCE
+    out["select (partials)"] = 3 * (D * Hp * Wp * 2) + Hp * Wp * 4
     return out
 
 
 # ---------------------------------------------------------------------------
 
 def classify(recs, patterns):
-    """Group xprof rows by regex patterns -> {group: {ms, n, xla_gbps}}."""
+    """Group xprof rows by (name regex, optional expression regex) ->
+    {group: {ms, gbps}}. Pallas kernels often share the enclosing jit's
+    name (stereo_gif_forward.N), so the HLO expression (result
+    dtype/shape) disambiguates them."""
     groups = {}
     other_ms = 0.0
     for rec in recs:
         name = str(rec["name"])
+        expr = str(rec.get("expression") or "")
         ms = rec["total_self_us"] / 1e3
-        for gname, pat in patterns:
-            if re.match(pat, name):
+        for entry in patterns:
+            gname, name_pat = entry[0], entry[1]
+            expr_pat = entry[2] if len(entry) > 2 else None
+            if re.match(name_pat, name) and (
+                expr_pat is None or re.search(expr_pat, expr)
+            ):
                 g = groups.setdefault(gname, {"ms": 0.0, "gbps": []})
                 g["ms"] += ms
                 if rec["hbm_gbps"]:
@@ -161,9 +170,12 @@ def run(update_scaling_md=False):
         return np.tile(img, reps)[:Ht, :Wt]
 
     gif_patterns = [
-        ("wta poly (2 views)", r"stereo_gif_forward"),
         ("joint WMF (2 views)", r"joint_wmf_pallas"),
-        ("cvc_lowmaps (2 views)", r".*(cvc_fgf|_lambda_|fgf_low_maps)"),
+        # maps producer: 4-D f32 (4, D, HP, WT) result; WTA: s32 result
+        ("cvc_lowmaps (2 views)", r".*", r"= f32\[4,\d+,\d+,\d+\].*custom-call"),
+        ("lowmaps (2 views)", r"fgf_low_maps_pallas"),
+        ("wta poly (2 views)", r"stereo_gif_forward|_lambda_",
+         r"= s32\[.*custom-call"),
     ]
     sgbm_patterns = [
         ("bt block cost", r"bt_block_cost"),
