@@ -70,7 +70,7 @@ def _cvc_lowmaps_kernel(
     *, k: int, s: int, M: int, w: int, W: int, qmax: int,
     alpha: float, border_cost: float,
     tau1: float | None, tau2: float | None,
-    is_left: bool, margin: int = 0,
+    is_left: bool, margin: int = 0, poison_d0: bool = False,
 ):
     c = pl.program_id(1)
     off = (qmax - c) if is_left else c
@@ -123,7 +123,8 @@ def _cvc_lowmaps_kernel(
         p_scr[:, :, M - 1 - t] = p_scr[:, :, M + 1 + t]
         p_scr[:, :, M + w + t] = p_scr[:, :, M + w - 2 - t]
 
-    _maps_chain(p_scr[...], stat_blk, out_ref, k=k, DC=s, margin=margin)
+    _maps_chain(p_scr[...], stat_blk, out_ref, k=k, DC=s, margin=margin,
+                poison_d0=poison_d0)
 
 
 def _plan_th(s: int, M: int, WI: int, WB: int, WT: int,
@@ -164,7 +165,7 @@ def cvc_lowmaps_applicable(
     M = 2 * (k // 2)
     WP = _round_up(len(xi), 128)
     if out_wp is not None:
-        WP = max(WP, out_wp)
+        WP = max(len(xi), out_wp)
     WI = WP + 2 * M
     WB = max_dis // s - 1 + WP + 2 * M
     return _plan_th(s, M, WI, WB, out_margin + WP) is not None
@@ -189,6 +190,7 @@ def cvc_fgf_low_maps_pallas(
     tau1: float | None = None,
     tau2: float | None = None,
     tile_h: int | None = None,   # override the VMEM-planned rows per tile
+    poison_d0: bool = False,     # a_*=0, b=D0_POISON at d=0 (WTA mask_d0=False)
     interpret: bool = False,
 ) -> jax.Array:
     """Fused build_cost_volumes_sampled (one view) + fgf_low_maps: returns
@@ -214,7 +216,10 @@ def cvc_fgf_low_maps_pallas(
     n_tiles_probe = -(-h // 32)
     WP = _round_up(w, 128)
     if out_wp is not None:
-        WP = max(WP, out_wp)
+        # the poly WTA layout may be NARROWER than the 128-rounded width
+        # (tight single-tile margins, see wta_pallas.poly_col_params) —
+        # honour it exactly so the consumer never re-pads the maps
+        WP = max(w, out_wp)
     WI = WP + 2 * M
     # lane-aligned so the in-kernel dynamic rotate has an aligned shape
     WB = _round_up(qmax + WP + 2 * M, 128)
@@ -313,7 +318,7 @@ def cvc_fgf_low_maps_pallas(
     kernel = functools.partial(
         _cvc_lowmaps_kernel, k=k, s=s, M=M, w=w, W=W, qmax=qmax,
         alpha=alpha, border_cost=border_cost, tau1=tau1, tau2=tau2,
-        is_left=is_left, margin=out_margin,
+        is_left=is_left, margin=out_margin, poison_d0=poison_d0,
     )
     from jax.experimental.pallas import tpu as pltpu
 

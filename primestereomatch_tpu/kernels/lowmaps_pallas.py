@@ -46,6 +46,12 @@ from primestereomatch_tpu.ops.guided_filter import _color_inverse_cov
 TH = 32  # output rows per tile
 DC_CAP = 4  # max disparity slices per grid step (tuning hook; auto-shrunk)
 
+# d=0 poison value (see poison_d0): q(0) = 0*I + D0_POISON dwarfs every
+# real filtered cost (O(1) values), so the WTA argmin can skip its
+# per-chunk d==0 inf mask (wta_pallas mask_d0=False). Far below the f32
+# max so the WTA's interpolation matmuls/lerps can never overflow it.
+D0_POISON = 1.0e30
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -68,7 +74,7 @@ def _maps_chain(
     p,            # (DC, TI, WI)  cost block values (pre-padded tile)
     stat_blk,     # (1, 12, TI, WI)  ch_low(3) means(3) inv(6), same tile
     out_ref,      # (4, DC, TH, margin+WO)  [a_r, a_g, a_b, b] box-averaged
-    *, k: int, DC: int, margin: int = 0,
+    *, k: int, DC: int, margin: int = 0, poison_d0: bool = False,
 ):
     # WI = WO + 2M: the box output is naturally full block width, so no
     # in-kernel concat/pad is ever needed (Mosaic rejects lane-dim concats
@@ -114,21 +120,35 @@ def _maps_chain(
             out_ref[i, :, :, margin:] = boxed
         else:
             out_ref[i] = boxed
+    if poison_d0:
+        # overwrite the d=0 maps (never-selected disparity) so the WTA
+        # consumer can run with mask_d0=False: a_* = 0, b = D0_POISON.
+        # Grid dim 1 is the disparity-chunk axis in both callers
+        # (lowmaps: n_dc chunks of DC; cvc_lowmaps: D//s chunks of s), so
+        # d == 0 is exactly (program_id(1) == 0, local slice 0).
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            rows, cols = out_ref.shape[2], out_ref.shape[3]
+            for i in range(3):
+                out_ref[i, 0] = jnp.zeros((rows, cols), jnp.float32)
+            out_ref[3, 0] = jnp.full((rows, cols), D0_POISON, jnp.float32)
 
 
 def _lowmaps_kernel(
     p_blk,        # (1, DC, TI, WI)  cost block (pre-padded tile)
     stat_blk,     # (1, 12, TI, WI)  ch_low(3) means(3) inv(6), same tile
     out_ref,      # (4, DC, TH, margin+WO)  [a_r, a_g, a_b, b] box-averaged
-    *, k: int, DC: int, margin: int = 0,
+    *, k: int, DC: int, margin: int = 0, poison_d0: bool = False,
 ):
-    _maps_chain(p_blk[0], stat_blk, out_ref, k=k, DC=DC, margin=margin)
+    _maps_chain(p_blk[0], stat_blk, out_ref, k=k, DC=DC, margin=margin,
+                poison_d0=poison_d0)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "radius", "eps", "subsample", "out_wp", "out_margin", "interpret"
+        "radius", "eps", "subsample", "out_wp", "out_margin", "poison_d0",
+        "interpret",
     ),
 )
 def fgf_low_maps_pallas(
@@ -139,11 +159,12 @@ def fgf_low_maps_pallas(
     subsample: int = 4,
     out_wp: int | None = None,  # pad output lanes to at least this (WTA layout)
     out_margin: int = 0,        # left lane margin (polyphase WTA layout)
+    poison_d0: bool = False,    # write a_*=0, b=D0_POISON at d=0 (WTA mask_d0=False)
     interpret: bool = False,
 ) -> jax.Array:
     """Fused fgf_low_maps: returns STACKED maps (4, D, HP, margin+WP) f32
     ([mean_a_r, mean_a_g, mean_a_b, mean_b]) where HP = ceil(h/TH)*TH,
-    WP = max(round_up(w, 128), out_wp), and data starts at lane
+    WP = max(round_up(w, 128), out_wp applied exactly), data at lane
     `out_margin` (margin lanes are zeros); outside (h, w) is finite junk.
     Feed directly to fgf_wta_pallas_maps(..., logical_hw=(h, w)).
     vmap-able: frames dispatch sequentially (see kernels/wta_pallas.py)."""
@@ -151,7 +172,8 @@ def fgf_low_maps_pallas(
     @jax.custom_batching.custom_vmap
     def run(g, p):
         return _fgf_low_maps_pallas_impl(
-            g, p, radius, eps, subsample, out_wp, out_margin, interpret
+            g, p, radius, eps, subsample, out_wp, out_margin, poison_d0,
+            interpret
         )
 
     @run.def_vmap
@@ -163,7 +185,8 @@ def fgf_low_maps_pallas(
         # one folded pallas_call (frames on the tile grid axis), then split
         # the stacked rows back into the per-frame (4, D, HP, WT) layout
         out = _fgf_low_maps_pallas_impl(
-            g, p, radius, eps, subsample, out_wp, out_margin, interpret
+            g, p, radius, eps, subsample, out_wp, out_margin, poison_d0,
+            interpret
         )
         n4, D, BHP, WT = out.shape
         out = out.reshape(n4, D, axis_size, BHP // axis_size, WT)
@@ -175,7 +198,8 @@ def fgf_low_maps_pallas(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "radius", "eps", "subsample", "out_wp", "out_margin", "interpret"
+        "radius", "eps", "subsample", "out_wp", "out_margin", "poison_d0",
+        "interpret",
     ),
 )
 def fgf_low_maps_pallas_batched(
@@ -186,6 +210,7 @@ def fgf_low_maps_pallas_batched(
     subsample: int = 4,
     out_wp: int | None = None,
     out_margin: int = 0,
+    poison_d0: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Batch-folded fgf_low_maps_pallas: ONE pallas_call for the whole
@@ -197,12 +222,14 @@ def fgf_low_maps_pallas_batched(
     offset). Replaces the lax.map-over-frames dispatch whose per-frame
     kernel launches dominate small-image batch throughput (CLAUDE.md)."""
     return _fgf_low_maps_pallas_impl(
-        guide, p_low, radius, eps, subsample, out_wp, out_margin, interpret
+        guide, p_low, radius, eps, subsample, out_wp, out_margin, poison_d0,
+        interpret
     )
 
 
 def _fgf_low_maps_pallas_impl(
-    guide, p_low, radius, eps, subsample, out_wp, out_margin, interpret
+    guide, p_low, radius, eps, subsample, out_wp, out_margin, poison_d0,
+    interpret
 ) -> jax.Array:
     from primestereomatch_tpu.ops.resize import resize_nearest
 
@@ -218,7 +245,10 @@ def _fgf_low_maps_pallas_impl(
     HP = n_tiles * TH
     WP = _round_up(w, 128)
     if out_wp is not None:
-        WP = max(WP, out_wp)
+        # the poly WTA layout may be NARROWER than the 128-rounded width
+        # (tight single-tile margins, see wta_pallas.poly_col_params) —
+        # honour it exactly so the consumer never re-pads the maps
+        WP = max(w, out_wp)
     # WI = WP + 2M: the in-kernel VALID box output is then naturally WP
     # lanes wide (no lane-dim concat, which Mosaic rejects)
     WI = WP + 2 * M
@@ -279,7 +309,8 @@ def _fgf_low_maps_pallas_impl(
          for i in range(n_tiles)], axis=1,
     ).reshape(B * n_tiles, 12, TI, stats_pad.shape[-1])
 
-    kernel = functools.partial(_lowmaps_kernel, k=k, DC=DC, margin=out_margin)
+    kernel = functools.partial(_lowmaps_kernel, k=k, DC=DC, margin=out_margin,
+                               poison_d0=poison_d0)
     WT = out_margin + WP
     out = pl.pallas_call(
         kernel,

@@ -31,15 +31,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_H = 16
+TILE_H = 32   # v5e sweep (2K/256 bins, valid-less): th=16 23.6, th=32 22.6
+              # ms/view wall (halo+hoist amortization); th=48 exceeds VMEM
 TILE_W = 128
 # tuning hooks (see sweep notes in the module docstring)
 _DBUF_DT = None      # None = int16; jnp.int32 fallback for wide ranges
 _PROBE_B = None      # offsets per pass-2 reduce trip (None = win)
+_NWAY = 4            # K-way search fan-out per (wbuf, dbuf) sweep: each trip
+                     # decides log2(K) binary levels from ONE re-read of the
+                     # cached (w, d) pairs — bit-identical to binary (K=2;
+                     # the probed mids are a superset of binary's, each cum
+                     # summed in the same block order, and same-order float
+                     # sums of pointwise-dominated terms stay monotone).
+                     # Measured v5e 2K/256-bin: worst-case random disparity
+                     # 28.5 (K=2) -> 27.4 (K=4) ms/view; smooth fields are
+                     # unchanged (~24.2) — pass 1 dominates this kernel.
 # extended (haloed) tile dims rounded up to the f32 VMEM tiling (8, 128):
 # HBM->VMEM DMA slice shapes must be tile-aligned
-def _ext_dims(radius: int) -> tuple[int, int]:
-    eh = TILE_H + 2 * radius
+def _ext_dims(radius: int, tile_h: int = TILE_H) -> tuple[int, int]:
+    eh = tile_h + 2 * radius
     ew = TILE_W + 2 * radius
     return (-(-eh // 8) * 8, -(-ew // 128) * 128)
 
@@ -47,7 +57,8 @@ def _ext_dims(radius: int) -> tuple[int, int]:
 def _wmf_kernel(
     disp_hbm, c6_hbm, valid_hbm, out_ref,
     dtile, ctile, vtile, dshift, cshift, vshift, wbuf, dbuf, sems,
-    *, radius: int, n_bins: int, inv_two_sig2: float,
+    *, radius: int, n_bins: int, inv_two_sig2: float, has_valid: bool,
+    tile_h: int,
 ):
     r = radius
     win = 2 * r + 1
@@ -55,8 +66,9 @@ def _wmf_kernel(
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
+    TILE_H = tile_h
 
-    eh, ew = _ext_dims(r)
+    eh, ew = _ext_dims(r, tile_h)
     cp_d = pltpu.make_async_copy(
         disp_hbm.at[b, pl.ds(i * TILE_H, eh), pl.ds(j * TILE_W, ew)],
         dtile, sems.at[0],
@@ -65,23 +77,26 @@ def _wmf_kernel(
         c6_hbm.at[b, :, pl.ds(i * TILE_H, eh), pl.ds(j * TILE_W, ew)],
         ctile, sems.at[1],
     )
-    cp_v = pltpu.make_async_copy(
-        valid_hbm.at[b, pl.ds(i * TILE_H, eh), pl.ds(j * TILE_W, ew)],
-        vtile, sems.at[2],
-    )
     cp_d.start()
     cp_c.start()
-    cp_v.start()
+    if has_valid:
+        cp_v = pltpu.make_async_copy(
+            valid_hbm.at[b, pl.ds(i * TILE_H, eh), pl.ds(j * TILE_W, ew)],
+            vtile, sems.at[2],
+        )
+        cp_v.start()
     cp_d.wait()
     cp_c.wait()
-    cp_v.wait()
+    if has_valid:
+        cp_v.wait()
 
     # hoist the expensive lane (column) shifts out of the window sweep:
     # one relayout per column offset instead of one per (row, col) offset
     for ox in range(win):
         dshift[ox] = dtile[:, ox : ox + TILE_W]
-        vshift[ox] = vtile[:, ox : ox + TILE_W]
         cshift[ox] = ctile[:, :, ox : ox + TILE_W]
+        if has_valid:
+            vshift[ox] = vtile[:, ox : ox + TILE_W]
 
     center = cshift[r][:, r : r + TILE_H, :]                 # (3, TH, TW)
 
@@ -89,17 +104,21 @@ def _wmf_kernel(
     # disparities are stored int16 (exact for n_bins <= 256): the binary-
     # search probes re-read dbuf log2(n_bins) times, so halving its
     # footprint cuts the dominant pass-2 VMEM traffic (int8 would halve it
-    # again but this Mosaic target has no int8 vector compare)
+    # again but this Mosaic target has no int8 vector compare).
+    # has_valid=False (the library default — the GIF pipeline passes no
+    # participation weights) drops the valid plane's DMA, hoist shifts,
+    # per-offset slice and multiply from the sweep entirely.
     total = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     for oy in range(win):
         for ox in range(win):
             o = oy * win + ox
             dq = dshift[ox][oy : oy + TILE_H, :]
-            vq = vshift[ox][oy : oy + TILE_H, :]
             cq = cshift[ox][:, oy : oy + TILE_H, :]
             diff = center - cq
             dist2 = diff[0] * diff[0] + diff[1] * diff[1] + diff[2] * diff[2]
-            w = jnp.exp(-dist2 * inv_two_sig2) * vq
+            w = jnp.exp(-dist2 * inv_two_sig2)
+            if has_valid:
+                w = w * vshift[ox][oy : oy + TILE_H, :]
             wbuf[o] = w
             dbuf[o] = dq.astype(dbuf.dtype)
             total = total + w
@@ -115,41 +134,59 @@ def _wmf_kernel(
     # holds from the start (cum(dmn-1) = 0, cum(dmx) = total). The bounds
     # may be loose (halo rows/zero padding lanes enter the min) — loose
     # bounds only add probes, never change the answer.
+    #
+    # K-WAY probes: each (wbuf, dbuf) sweep evaluates the cums at the
+    # NWAY-1 mids `ans + j*width/NWAY - 1` — exactly the mids the binary
+    # descent would probe over its next log2(NWAY) steps, summed in the
+    # same block order, so the result is BIT-IDENTICAL to binary search
+    # while the dominant pass-2 VMEM re-read traffic drops log2(NWAY)x
+    # (each trip: 1 read serves log2(NWAY) decisions). Monotonicity of
+    # same-order float sums of pointwise-dominated terms (w >= 0) makes
+    # the quadrant count sum_j [cum_j < half] reproduce the binary path.
     dmn = jnp.min(dtile[...])
     dmx = jnp.max(dtile[...])
     rng = dmx - dmn + 1
 
     def w0_body(w):
-        return w * 2
+        return w * _NWAY
 
+    # width0 = NWAY^k >= rng, so every K-way trip divides evenly and the
+    # final width hits exactly 1
     width0 = jax.lax.while_loop(lambda w: w < rng, w0_body, jnp.int32(1))
+
+    pb = _PROBE_B or win
+    nb = (win * win) // pb
+    rem = win * win - nb * pb
 
     def probe_body(carry):
         width, ans = carry
-        width = width // 2
-        mid = (ans + (width - 1))[None]
+        width = width // _NWAY
+        # mids[j] = ans + (j+1)*width - 1, j = 0..NWAY-2  (monotone)
+        mids = [(ans + ((j + 1) * width - 1))[None] for j in range(_NWAY - 1)]
 
-        # probe in blocks of `pb` offsets: fewer loop trips, vector
-        # reduce; the compare widens to i32 (no 16-bit vector cmp here)
-        # but the VMEM reads stay narrow
-        pb = _PROBE_B or win
-        nb = (win * win) // pb
-        rem = win * win - nb * pb
-
-        def cum_body(b, acc, mid=mid):
+        def cum_body(b, accs):
             wblk = wbuf[pl.ds(b * pb, pb)]
             dblk = dbuf[pl.ds(b * pb, pb)].astype(jnp.int32)
-            inc = jnp.where(dblk <= mid, wblk, 0.0)
-            return acc + jnp.sum(inc, axis=0)
+            return tuple(
+                acc + jnp.sum(jnp.where(dblk <= mid, wblk, 0.0), axis=0)
+                for acc, mid in zip(accs, mids)
+            )
 
-        cum = jax.lax.fori_loop(
-            0, nb, cum_body, jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        cums = jax.lax.fori_loop(
+            0, nb, cum_body, tuple(zero for _ in range(_NWAY - 1))
         )
         if rem:
             wblk = wbuf[pl.ds(nb * pb, rem)]
             dblk = dbuf[pl.ds(nb * pb, rem)].astype(jnp.int32)
-            cum = cum + jnp.sum(jnp.where(dblk <= mid, wblk, 0.0), axis=0)
-        return width, jnp.where(cum < half, ans + width, ans)
+            cums = tuple(
+                c + jnp.sum(jnp.where(dblk <= mid, wblk, 0.0), axis=0)
+                for c, mid in zip(cums, mids)
+            )
+        step = zero.astype(jnp.int32)
+        for c in cums:
+            step = step + jnp.where(c < half, width, 0)
+        return width, ans + step
 
     _, ans = jax.lax.while_loop(
         lambda c: c[0] > 1, probe_body,
@@ -157,27 +194,41 @@ def _wmf_kernel(
     )
 
     ans = jnp.clip(ans, 0, n_bins - 1)
-    out_ref[0] = jnp.where(total > 0, ans, 0)
+    if has_valid:
+        out_ref[0] = jnp.where(total > 0, ans, 0)
+    else:
+        out_ref[0] = ans          # exp > 0 everywhere => total > 0 always
 
 
-def _pad_to(x: jax.Array, h: int, w: int, axes=(0, 1)) -> jax.Array:
+def _pad_to(x: jax.Array, h: int, w: int, axes=(0, 1), value=0.0) -> jax.Array:
     pads = [(0, 0)] * x.ndim
     pads[axes[0]] = (0, h - x.shape[axes[0]])
     pads[axes[1]] = (0, w - x.shape[axes[1]])
-    return jnp.pad(x, pads)
+    return jnp.pad(x, pads, constant_values=value)
+
+
+# out-of-image guide fill for the valid-less fast path: dist2 >= ~1e12, so
+# exp(-dist2 * inv_two_sig2) underflows to exactly +0.0 (f32 exp underflows
+# below ~-104) — bitwise the same exclusion the all-ones valid plane's
+# zero padding produced, with no per-offset valid work at all. Requires
+# inv_two_sig2 * 1e12 > 104, i.e. sig_q < ~7e4 (reference sigma is 25.5).
+_BORDER_C = 1.0e6
 
 
 def _wmf_pallas_batched(
     disp: jax.Array,     # (B, H, W) any int dtype
     guide_u8: jax.Array, # (B, H, W, 3) uint8
-    valid: jax.Array,    # (B, H, W) float32
+    valid: jax.Array | None,  # (B, H, W) float32, or None (all-ones fast path)
     radius: int, n_bins: int, sigma: float, interpret: bool,
+    tile_h: int | None = None,
 ) -> jax.Array:
     """(B, H, W) batched kernel launch: batch is the leading grid dim, so
     jax.vmap of the public API lowers to ONE pallas_call."""
     B, H, W = disp.shape
     r = radius
-    hp = pl.cdiv(H, TILE_H) * TILE_H
+    has_valid = valid is not None
+    th = tile_h or TILE_H
+    hp = pl.cdiv(H, th) * th
     wp = pl.cdiv(W, TILE_W) * TILE_W
 
     # 6-bit quantization + rescaled sigma (include/JointWMF.h:546,622)
@@ -186,51 +237,69 @@ def _wmf_pallas_batched(
     sig_q = sigma / 256.0 * 64.0
     inv_two_sig2 = 1.0 / (2.0 * sig_q * sig_q)
 
-    # halo padding folded into one padded layout: out-of-image -> valid 0.
-    # bottom/right padded further so every tile's aligned (eh, ew) DMA
-    # window stays in bounds
-    eh, ew = _ext_dims(r)
-    pad_b = (hp - TILE_H + eh) - (hp + r)
+    # halo padding folded into one padded layout. Out-of-image exclusion:
+    # with a valid plane, padding valid with 0 does it; on the valid-less
+    # fast path the guide pads with _BORDER_C instead, making the bilateral
+    # weight underflow to exactly +0.0 for every out-of-image sample — the
+    # bitwise-same exclusion with no per-offset valid work. bottom/right
+    # padded further so every tile's aligned (eh, ew) DMA window stays
+    # in bounds
+    if not has_valid and float(inv_two_sig2) * (_BORDER_C ** 2) < 120.0:
+        # absurdly large sigma: underflow trick invalid; fall back
+        valid = jnp.ones((B, H, W), jnp.float32)
+        has_valid = True
+    eh, ew = _ext_dims(r, th)
+    pad_b = (hp - th + eh) - (hp + r)
     pad_r = (wp - TILE_W + ew) - (wp + r)
     d_pad = jnp.pad(
         _pad_to(disp.astype(jnp.int32), hp, wp, axes=(1, 2)),
         ((0, 0), (r, pad_b), (r, pad_r)),
     )
-    v_pad = jnp.pad(
-        _pad_to(valid.astype(jnp.float32), hp, wp, axes=(1, 2)),
-        ((0, 0), (r, pad_b), (r, pad_r)),
-    )
+    if has_valid:
+        v_pad = jnp.pad(
+            _pad_to(valid.astype(jnp.float32), hp, wp, axes=(1, 2)),
+            ((0, 0), (r, pad_b), (r, pad_r)),
+        )
+        c_fill = 0.0
+    else:
+        v_pad = jnp.zeros((1, 8, 128), jnp.float32)   # placeholder, unread
+        c_fill = _BORDER_C
     c_pad = jnp.pad(
-        _pad_to(c6, hp, wp, axes=(2, 3)),
-        ((0, 0), (0, 0), (r, pad_b), (r, pad_r)),
+        _pad_to(c6, hp, wp, axes=(2, 3), value=c_fill),
+        ((0, 0), (0, 0), (r, pad_b), (r, pad_r)), constant_values=c_fill,
     )
 
     kernel = functools.partial(
-        _wmf_kernel, radius=r, n_bins=n_bins, inv_two_sig2=float(inv_two_sig2)
+        _wmf_kernel, radius=r, n_bins=n_bins,
+        inv_two_sig2=float(inv_two_sig2), has_valid=has_valid, tile_h=th,
     )
     win = 2 * r + 1
+    eh_ew = (eh, ew)
     out = pl.pallas_call(
         kernel,
-        grid=(B, hp // TILE_H, wp // TILE_W),
+        grid=(B, hp // th, wp // TILE_W),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, TILE_H, TILE_W), lambda b, i, j: (b, i, j),
+            (1, th, TILE_W), lambda b, i, j: (b, i, j),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((B, hp, wp), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM(eh_ew := _ext_dims(r), jnp.int32),
+            pltpu.VMEM(eh_ew, jnp.int32),
             pltpu.VMEM((3, *eh_ew), jnp.float32),
-            pltpu.VMEM(eh_ew, jnp.float32),
-            pltpu.VMEM((win, eh_ew[0], TILE_W), jnp.int32),       # dshift
-            pltpu.VMEM((win, 3, eh_ew[0], TILE_W), jnp.float32),  # cshift
-            pltpu.VMEM((win, eh_ew[0], TILE_W), jnp.float32),     # vshift
-            pltpu.VMEM((win * win, TILE_H, TILE_W), jnp.float32),
-            pltpu.VMEM((win * win, TILE_H, TILE_W), _DBUF_DT or jnp.int16),
+            pltpu.VMEM(eh_ew if has_valid else (8, 128), jnp.float32),
+            pltpu.VMEM((win, eh, TILE_W), jnp.int32),             # dshift
+            pltpu.VMEM((win, 3, eh, TILE_W), jnp.float32),        # cshift
+            pltpu.VMEM(                                           # vshift
+                (win, eh, TILE_W) if has_valid else (1, 8, 128),
+                jnp.float32,
+            ),
+            pltpu.VMEM((win * win, th, TILE_W), jnp.float32),
+            pltpu.VMEM((win * win, th, TILE_W), _DBUF_DT or jnp.int16),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
@@ -239,7 +308,8 @@ def _wmf_pallas_batched(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("radius", "n_bins", "sigma", "interpret")
+    jax.jit, static_argnames=("radius", "n_bins", "sigma", "tile_h",
+                              "interpret")
 )
 def joint_wmf_pallas(
     disp: jax.Array,                # (H, W) uint8
@@ -248,20 +318,48 @@ def joint_wmf_pallas(
     n_bins: int = 64,
     sigma: float = 25.5,
     valid: jax.Array | None = None,  # (H, W) float32 participation weights
+    tile_h: int | None = None,       # rows per tile (None = default 16)
     interpret: bool = False,
 ) -> jax.Array:
     """Drop-in accelerated joint_wmf (mode 'exact'). Returns (H, W) uint8.
 
+    valid=None (the library default) takes the fast path: no valid-plane
+    DMA/shift/multiply; border exclusion comes from the _BORDER_C guide
+    padding instead (bitwise-identical medians).
+
     vmap-able: a custom batching rule maps the whole batch onto one
     pallas_call with batch as the leading grid dimension."""
-    H, W = disp.shape
     if valid is None:
-        valid = jnp.ones((H, W), jnp.float32)
+
+        @jax.custom_batching.custom_vmap
+        def run2(d, g):
+            return _wmf_pallas_batched(
+                d[None], g[None], None, radius, n_bins, sigma, interpret,
+                tile_h=tile_h,
+            )[0]
+
+        @run2.def_vmap
+        def _run2_vmap(axis_size, in_batched, d, g):  # noqa: ANN001
+            db, gb = in_batched
+
+            def bcast(x, batched):
+                return x if batched else jnp.broadcast_to(
+                    x, (axis_size, *x.shape)
+                )
+
+            out = _wmf_pallas_batched(
+                bcast(d, db), bcast(g, gb), None, radius, n_bins, sigma,
+                interpret, tile_h=tile_h,
+            )
+            return out, True
+
+        return run2(disp, guide_u8)
 
     @jax.custom_batching.custom_vmap
     def run(d, g, v):
         return _wmf_pallas_batched(
-            d[None], g[None], v[None], radius, n_bins, sigma, interpret
+            d[None], g[None], v[None], radius, n_bins, sigma, interpret,
+            tile_h=tile_h,
         )[0]
 
     @run.def_vmap

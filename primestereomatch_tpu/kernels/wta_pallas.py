@@ -82,7 +82,7 @@ def _wta_kernel(
     maps_hbm, guide_blk, ryw_blk, cxw_blk, out_ref,
     slab, sem,
     *, n_maps: int, D: int, DC: int, RS: int, CS: int,
-    TILE_W: int = TILE_W,
+    TILE_W: int = TILE_W, mask_d0: bool = True,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -166,8 +166,11 @@ def _wta_kernel(
             + q4[2] * cb[None]
             + q4[3]
         )
-        d_glob = c * DC + jax.lax.broadcasted_iota(jnp.int32, (DC, 1, 1), 0)
-        q = jnp.where(d_glob == 0, jnp.inf, q)
+        if mask_d0:
+            d_glob = c * DC + jax.lax.broadcasted_iota(
+                jnp.int32, (DC, 1, 1), 0
+            )
+            q = jnp.where(d_glob == 0, jnp.inf, q)
         c_min = jnp.min(q, axis=0)
         c_arg = (c * DC + jnp.argmin(q, axis=0)).astype(jnp.int32)
         take = c_min < best
@@ -199,13 +202,17 @@ def _wta_kernel(
 # included), so it needs no XLA edge fixup; the exact-integer mode keeps
 # the static per-phase slices (no selects) plus the ncl-column fixup.
 #
-# Layout contract: the maps tensor carries a POLY_MARGIN-lane left margin
+# Layout contract: the maps tensor carries a `margin`-lane left margin
 # (slice legality; values may be junk) and enough right padding that every
-# slab window [j*TWQ, j*TWQ + TWQ + 2*POLY_MARGIN) is in-bounds — the
+# slab window [j*TWQ - margin, j*TWQ + TWQ + margin) is in-bounds — the
 # layout `poly_col_params` computes and kernels/lowmaps_pallas.py emits
-# (out_wp/out_margin). Junk margin reads can only carry weight for the
-# first P//2 output columns of the exact-static mode, which are recomputed
-# exactly in XLA (masked mode never weights them: e >= -k at lane k).
+# (out_wp/out_margin). Single-tile widths use the smallest margin M >= 2
+# with (TWQ + 2M) a 128-multiple (the window starts at lane 0, so no
+# alignment unit is needed); multi-tile widths keep margin = POLY_MARGIN
+# = 128 so every window start j*TWQ - margin stays lane-aligned. Junk
+# margin reads can only carry weight for the first P//2 output columns of
+# the exact-static mode, which are recomputed exactly in XLA (masked mode
+# never weights them: e >= -k at lane k).
 
 POLY_MARGIN = 128
 POLY_TILE_H = 32   # output rows per tile (tuned on v5e: 42.5 ms vs 44.7 at
@@ -242,27 +249,41 @@ def poly_col_params(w: int, W: int, twq: int | None = None) -> dict | None:
         if twq % 128:
             raise ValueError(f"twq {twq} must be a multiple of 128")
         twq = min(twq, _round_up(wq, 128))
+        ntxq = -(-wq // twq)
+        margin = POLY_MARGIN
+    elif _round_up(wq, 8) <= POLY_TWQ_MAX:
+        # SINGLE-TILE width: the slab window is [0, CS) regardless of
+        # alignment (j == 0), so the margin shrinks from the 128-lane
+        # alignment unit to the smallest M >= 2 making CS = twq + 2M a
+        # lane-tile multiple. The slab DMA, the row-interp matmul N and
+        # the rowed/transpose volumes all scale with CS: 2K 896 -> 640,
+        # HD720 640 -> 384, Teddy-quasi 512 -> 256 lanes.
+        twq = _round_up(wq, 8)                  # even, so 2M works out
+        ntxq = 1
+        margin = ((-twq) % 128) // 2
+        if margin < 2:
+            margin += 64
     else:
-        # every tile DMAs CS = twq + 2*POLY_MARGIN slab lanes for twq
-        # useful phase columns, so pick the width minimizing total slab
-        # lanes ntxq*CS (then padded phase columns ntxq*twq). At 2K
-        # (w=552) this selects 640 (one tile, CS=896) over the old fixed
-        # 256 (three tiles, 3*512 lanes): measured 42.5 -> 29.4 ms/view
+        # multi-tile: every tile's window start j*TWQ - margin must stay
+        # 128-aligned, so twq and margin are 128-multiples; pick the
+        # width minimizing total slab lanes ntxq*CS (then padded phase
+        # columns ntxq*twq)
         twq = min(
             range(128, POLY_TWQ_MAX + 1, 128),
             key=lambda t: (-(-wq // t) * (t + 2 * POLY_MARGIN),
                            -(-wq // t) * t),
         )
         twq = min(twq, _round_up(wq, 128))
-    ntxq = -(-wq // twq)
+        ntxq = -(-wq // twq)
+        margin = POLY_MARGIN
     # maps width: margin + data, with every slab window in-bounds
-    wp = ntxq * twq + POLY_MARGIN
+    wp = ntxq * twq + margin
     deltas = tuple(
         int(np.floor((r + 0.5) / P - 0.5)) for r in range(P)
     )
     return {
         "P": P, "TWQ": twq, "ntxq": ntxq, "out_wp": wp,
-        "margin": POLY_MARGIN, "deltas": deltas, "ncl": P // 2,
+        "margin": margin, "deltas": deltas, "ncl": P // 2,
         "wq": wq, "exact": exact, "e": e_tab, "wx": wx_tab,
     }
 
@@ -272,9 +293,14 @@ def _wta_kernel_poly(
     maps_hbm, guide_blk, ryw_blk, wx_blk, out_ref,
     slab, sem,
     *, D: int, DC: int, RS: int, CS: int, P: int, TWQ: int, TH: int,
-    deltas: tuple, masked: bool = False,
+    deltas: tuple, margin: int = POLY_MARGIN, masked: bool = False,
+    mask_d0: bool = True,
     mm_precision=jax.lax.Precision.HIGHEST,
 ):
+    # mask_d0=False drops the never-select-d0 inf mask (one compare +
+    # select per (d, px) in EVERY chunk): the maps producers can poison
+    # the d=0 slice instead (a_*=0, b=D0_POISON — lowmaps/cvc_lowmaps
+    # poison_d0=True), which costs one tiny store in one grid cell there.
     i = pl.program_id(0)
     j = pl.program_id(1)
     r0 = pl.multiple_of(row_start_s[i], 8)
@@ -320,14 +346,15 @@ def _wta_kernel_poly(
         # 2K): the phase loop then runs on (DC, TWQ)-tiled minor dims and
         # Mosaic schedules it worse than the (TH, CS)-minor layout below
         rowed = jnp.transpose(rowed, (1, 2, 0, 3))  # (4, DC, TH, CS)
-        M = POLY_MARGIN
+        M = margin
         # the static source-lane windows every phase lerp draws from
         sA = rowed[..., M - 1 : M - 1 + TWQ]
         sB = rowed[..., M : M + TWQ]
         sC = rowed[..., M + 1 : M + 1 + TWQ]
         sZ = rowed[..., M - 2 : M - 2 + TWQ] if masked else None
 
-        d_glob = c * DC + jax.lax.broadcasted_iota(jnp.int32, (DC, 1, 1), 0)
+        if mask_d0:
+            d_glob = c * DC + jax.lax.broadcasted_iota(jnp.int32, (DC, 1, 1), 0)
         mins, args_ = [], []
         for r in range(P):
             wx = wx_blk[0, r, :][None, None, :]  # (1, 1, TWQ)
@@ -364,7 +391,8 @@ def _wta_kernel_poly(
                     else (comb(sB), comb(sC))
                 )
             q = a * (1.0 - wx) + b * wx          # (DC, TH, TWQ)
-            q = jnp.where(d_glob == 0, jnp.inf, q)
+            if mask_d0:
+                q = jnp.where(d_glob == 0, jnp.inf, q)
             mins.append(jnp.min(q, axis=0))
             args_.append((c * DC + jnp.argmin(q, axis=0)).astype(jnp.int32))
         c_min = jnp.stack(mins)                  # (P, TH, TWQ)
@@ -422,6 +450,8 @@ def fgf_wta_pallas_maps(
     tile_h: int | None = None,  # poly output rows per tile (None = default)
     poly_twq: int | None = None,  # poly phase-column tile width override
     mm_precision: str = "highest",  # row-interp matmul precision (poly path)
+    mask_d0: bool = True,      # False iff the producer poisoned maps[:, 0]
+    maps_layout: str = "auto",  # "poly" | "plain" | "auto" (width inference)
     interpret: bool = False,
 ) -> jax.Array:
     """WTA from a pre-stacked, pre-padded maps tensor (the layout
@@ -429,11 +459,14 @@ def fgf_wta_pallas_maps(
     copy of the tuple entry point (~700 MB per view at 2K/d=256).
     With poly=True the maps must be in the polyphase layout (left margin +
     out_wp lanes; pass lowmaps out_wp/out_margin from poly_col_params
-    called with the SAME poly_twq)."""
+    called with the SAME poly_twq). mask_d0=False skips the in-kernel
+    d==0 inf mask — only valid when the maps producer ran with
+    poison_d0=True (lowmaps/cvc_lowmaps write a_*=0, b=D0_POISON at d=0,
+    so d=0 loses every argmin without per-chunk masking work)."""
     return _fgf_wta_pallas_impl(
         guide, maps, out_hw=out_hw, d_chunk=d_chunk, interpret=interpret,
         logical_hw=logical_hw, poly=poly, tile_h=tile_h, poly_twq=poly_twq,
-        mm_precision=mm_precision,
+        mm_precision=mm_precision, mask_d0=mask_d0, maps_layout=maps_layout,
     )
 
 
@@ -441,7 +474,7 @@ def fgf_wta_pallas_maps(
     jax.jit,
     static_argnames=(
         "logical_hw", "out_hw", "d_chunk", "poly", "tile_h", "poly_twq",
-        "interpret",
+        "mask_d0", "maps_layout", "interpret",
     ),
 )
 def fgf_wta_pallas_maps_batched(
@@ -454,16 +487,18 @@ def fgf_wta_pallas_maps_batched(
     poly: bool = False,        # polyphase column layout (see poly_col_params)
     tile_h: int | None = None,
     poly_twq: int | None = None,
+    mask_d0: bool = True,      # False iff the producer poisoned maps[:, 0]
+    maps_layout: str = "auto",  # "poly" | "plain" | "auto" (width inference)
     interpret: bool = False,
 ) -> jax.Array:
     """Batch-folded WTA: ONE pallas_call for the whole batch. Frame b's
     row tiles are grid rows b*nty..(b+1)*nty-1 and its slab row starts
     carry the b*HPf offset, so the kernel and block specs are identical to
     the single-frame launch. poly=True selects the polyphase column
-    variant (always in masked-table mode when batched — exact for both
-    integer and quasi ratios, no edge fixup); the maps must then be in the
-    poly layout (lowmaps out_wp/out_margin from poly_col_params). Returns
-    (B, H, W) uint8 disparities."""
+    variant (static per-phase slices + batched XLA edge fixup at exact
+    integer ratios, masked per-lane tap tables at quasi ratios); the maps
+    must then be in the poly layout (lowmaps out_wp/out_margin from
+    poly_col_params). Returns (B, H, W) uint8 disparities."""
     B, H, W = guide.shape[0], *out_hw
     h, w = logical_hw
     D = maps.shape[1]
@@ -475,7 +510,8 @@ def fgf_wta_pallas_maps_batched(
         if D % DCp:
             raise ValueError(f"D={D} not divisible by chunk {DCp}")
         return _wta_poly_run(guide, maps, h, w, out_hw, DCp, pp, interpret,
-                             tile_h=tile_h)
+                             tile_h=tile_h, mask_d0=mask_d0,
+                             maps_layout=maps_layout)
     DC = min(d_chunk, D)
     if D % DC:
         raise ValueError(f"D={D} not divisible by chunk {DC}")
@@ -540,6 +576,7 @@ def fgf_wta_pallas_maps_batched(
 
     kernel = functools.partial(
         _wta_kernel, n_maps=4, D=D, DC=DC, RS=RS, CS=CS, TILE_W=tw,
+        mask_d0=mask_d0,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -590,7 +627,8 @@ def _poly_plan_dc(D: int, dc_req: int, RS: int, CS: int, TH: int,
 
 
 def _wta_poly_run(guide, maps, h, w, out_hw, DC, pp, interpret, tile_h=None,
-                  mm_precision="highest"):
+                  mm_precision="highest", mask_d0=True,
+                  maps_layout="auto"):
     """Single-frame OR batch-folded polyphase WTA launch.
 
     guide (H, W, 3) + maps (4, D, HPf, WPm) run one frame; guide
@@ -599,10 +637,12 @@ def _wta_poly_run(guide, maps, h, w, out_hw, DC, pp, interpret, tile_h=None,
     row starts carry the b*HPf offset, exactly like the generic batched
     launch). Returns (H, W) / (B, H, W) uint8.
 
-    Mode: exact single-frame keeps the static per-phase slices + ncl-column
-    XLA fixup; quasi ratios and every batched launch use the masked
-    per-lane tap select, whose (wx, e) tables are the true linear_coeffs
-    values everywhere (clamped edges included) — no fixup needed."""
+    Mode: exact ratios (single-frame AND batched) keep the static
+    per-phase slices + ncl-column XLA fixup — 2 guide combines per
+    (d, px) instead of the masked mode's 4 combines + 4 tap selects.
+    Quasi ratios use the masked per-lane tap select, whose (wx, e)
+    tables are the true linear_coeffs values everywhere (clamped edges
+    included) — no fixup needed."""
     H, W = out_hw
     P, TWQ, ntxq, wq = pp["P"], pp["TWQ"], pp["ntxq"], pp["wq"]
     margin, deltas, ncl = pp["margin"], pp["deltas"], pp["ncl"]
@@ -610,7 +650,7 @@ def _wta_poly_run(guide, maps, h, w, out_hw, DC, pp, interpret, tile_h=None,
     B = guide.shape[0] if batched else 1
     if not batched:
         guide = guide[None]
-    masked = (not pp["exact"]) or batched
+    masked = not pp["exact"]
     D = maps.shape[1]
     wq_p = ntxq * TWQ
     CS = TWQ + 2 * margin
@@ -659,7 +699,15 @@ def _wta_poly_run(guide, maps, h, w, out_hw, DC, pp, interpret, tile_h=None,
     if HPt % B:
         raise ValueError("maps rows not divisible by batch")
     HPm = HPt // B                                    # rows per frame
-    if WPm != want_w:
+    # layout: with tight single-tile margins a PLAIN maps width can
+    # coincide with the poly width, so callers that know their layout say
+    # so ("poly" = lowmaps out_wp/out_margin output, "plain" = data at
+    # lane 0); "auto" keeps the legacy width inference
+    if maps_layout == "poly" and WPm != want_w:
+        raise ValueError(
+            f"poly-layout maps are {WPm} lanes wide, expected {want_w}"
+        )
+    if maps_layout == "plain" or (maps_layout == "auto" and WPm != want_w):
         # plain-layout maps (tuple entry): bring into the poly layout
         maps = jnp.pad(
             maps,
@@ -717,7 +765,7 @@ def _wta_poly_run(guide, maps, h, w, out_hw, DC, pp, interpret, tile_h=None,
 
     kernel = functools.partial(
         _wta_kernel_poly, D=D, DC=DC, RS=RS, CS=CS, P=P, TWQ=TWQ, TH=TH,
-        deltas=deltas, masked=masked,
+        deltas=deltas, margin=margin, masked=masked, mask_d0=mask_d0,
         # Mosaic supports only HIGHEST (6-pass f32) and DEFAULT (bf16) dots
         mm_precision={"highest": jax.lax.Precision.HIGHEST,
                       "default": jax.lax.Precision.DEFAULT}[mm_precision],
@@ -752,26 +800,25 @@ def _wta_poly_run(guide, maps, h, w, out_hw, DC, pp, interpret, tile_h=None,
         # left-edge fixup (exact-static mode only): output cols J < ncl
         # have clamped source col 0 but the static phase slices read the
         # (junk) margin — recompute them exactly (same two-term lerps and
-        # combine order as the kernel)
-        col0 = maps[:, :, :, margin]                    # (4, D, HPm)
+        # combine order as the kernel), vectorized over the B frames
+        col0 = maps[:, :, :, margin].reshape(4, D, B, HPm)
         sy_j = jnp.asarray(sy[:H])
         fy_j = jnp.asarray(fy[:H])
         r0v = jnp.take(col0, sy_j, axis=-1)
         r1v = jnp.take(col0, jnp.minimum(sy_j + 1, HPm - 1), axis=-1)
-        qm = r0v * (1.0 - fy_j) + r1v * fy_j            # (4, D, H)
-        d_mask = (jnp.arange(D) == 0)[:, None]
-        d0 = disp[0]
+        qm = r0v * (1.0 - fy_j) + r1v * fy_j            # (4, D, B, H)
+        d_mask = (jnp.arange(D) == 0)[:, None, None]
         for J in range(ncl):
-            g = guide[0, :H, J, :]                      # (H, 3)
+            g = guide[:, :H, J, :]                      # (B, H, 3)
             qJ = (
-                qm[0] * g[:, 0][None]
-                + qm[1] * g[:, 1][None]
-                + qm[2] * g[:, 2][None]
+                qm[0] * g[..., 0][None]
+                + qm[1] * g[..., 1][None]
+                + qm[2] * g[..., 2][None]
                 + qm[3]
-            )
+            )                                           # (D, B, H)
             qJ = jnp.where(d_mask, jnp.inf, qJ)
-            d0 = d0.at[:, J].set(jnp.argmin(qJ, axis=0).astype(jnp.int32))
-        disp = d0[None]
+            dJ = jnp.argmin(qJ, axis=0).astype(jnp.int32)
+            disp = disp.at[:, :, J].set(dJ)
     disp = disp.astype(jnp.uint8)
     return disp if batched else disp[0]
 
@@ -779,11 +826,13 @@ def _wta_poly_run(guide, maps, h, w, out_hw, DC, pp, interpret, tile_h=None,
 def _fgf_wta_pallas_impl(
     guide, mean_a_r, mean_a_g=None, mean_a_b=None, mean_b=None,
     out_hw=None, d_chunk=32, interpret=False, logical_hw=None, poly=False,
-    tile_h=None, poly_twq=None, mm_precision="highest",
+    tile_h=None, poly_twq=None, mm_precision="highest", mask_d0=True,
+    maps_layout="auto",
 ) -> jax.Array:
     if mean_b is not None:
         maps = jnp.stack([mean_a_r, mean_a_g, mean_a_b, mean_b], axis=0)
         h, w = mean_b.shape[-2:]
+        maps_layout = "plain"    # freshly stacked: data at lane 0
     else:
         maps = mean_a_r          # pre-stacked (4, D, HP, WP)
         h, w = logical_hw
@@ -797,7 +846,8 @@ def _fgf_wta_pallas_impl(
         if pp is None:
             raise ValueError(f"polyphase WTA does not apply to {w}->{W}")
         return _wta_poly_run(guide, maps, h, w, out_hw, DC, pp, interpret,
-                             tile_h=tile_h, mm_precision=mm_precision)
+                             tile_h=tile_h, mm_precision=mm_precision,
+                             mask_d0=mask_d0, maps_layout=maps_layout)
     tw = _pick_tile_w(W)
     hp = _round_up(H, TILE_H)
     wp = _round_up(W, tw)
@@ -859,6 +909,7 @@ def _fgf_wta_pallas_impl(
 
     kernel = functools.partial(
         _wta_kernel, n_maps=4, D=D, DC=DC, RS=RS, CS=CS, TILE_W=tw,
+        mask_d0=mask_d0,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -210,7 +210,7 @@ def stereo_gif_forward(
                     yi=yi, xi=xi, radius=cfg.gif_radius, eps=cfg.gif_eps,
                     subsample=s, out_wp=pp["out_wp"], out_margin=pp["margin"],
                     alpha=cfg.alpha, border_cost=cfg.border_cost,
-                    tau1=cfg.tau1, tau2=cfg.tau2,
+                    tau1=cfg.tau1, tau2=cfg.tau2, poison_d0=True,
                 )
                 maps_l = lowm_f(l_img, l_grd, r_img, r_grd, True)
                 maps_r = lowm_f(r_img, r_grd, l_img, l_grd, False)
@@ -223,10 +223,16 @@ def stereo_gif_forward(
                     fgf_low_maps_pallas, radius=cfg.gif_radius,
                     eps=cfg.gif_eps, subsample=s,
                     out_wp=pp["out_wp"], out_margin=pp["margin"],
+                    poison_d0=True,
                 )
                 maps_l = lowm(l_img, lcv_low)
                 maps_r = lowm(r_img, rcv_low)
-            wta = functools.partial(fgf_wta_pallas_maps, d_chunk=dc, poly=True)
+            # the producers poisoned maps[:, 0] (a_*=0, b=D0_POISON), so
+            # the WTA kernel skips its per-chunk d==0 inf mask entirely
+            wta = functools.partial(
+                fgf_wta_pallas_maps, d_chunk=dc, poly=True, mask_d0=False,
+                maps_layout="poly",
+            )
             l_disp = wta(l_img, maps_l, (h, w), (H, W))
             r_disp = wta(r_img, maps_r, (h, w), (H, W))
         else:
@@ -241,10 +247,12 @@ def stereo_gif_forward(
             )
             maps2 = fgf_low_maps_pallas_batched(
                 g2, p2, radius=cfg.gif_radius, eps=cfg.gif_eps, subsample=s,
-                **lw_kw,
+                poison_d0=True, **lw_kw,
             )
             d2 = fgf_wta_pallas_maps_batched(
                 g2, maps2, (h, w), (H, W), d_chunk=dc, poly=pp is not None,
+                mask_d0=False,
+                maps_layout="poly" if pp is not None else "auto",
             )
             l_disp, r_disp = d2[0], d2[1]
     else:
@@ -375,10 +383,12 @@ def stereo_gif_forward_batch(
         )
         maps = fgf_low_maps_pallas_batched(
             g_all, p_all, radius=cfg.gif_radius, eps=cfg.gif_eps,
-            subsample=s, **lw_kw,
+            subsample=s, poison_d0=True, **lw_kw,
         )
         d_all = fgf_wta_pallas_maps_batched(
             g_all, maps, (h, w), (H, W), d_chunk=dc, poly=pp is not None,
+            mask_d0=False,
+            maps_layout="poly" if pp is not None else "auto",
         )
         if run_postprocess:
             # joint_wmf_pallas's custom_vmap lowers to one batched call

@@ -115,6 +115,11 @@ def collect_hlo_stats(fn, args, steps: int = 5, warmup: int = 2):
                 "name": rec.get("hlo_op_name"),
                 "category": rec.get("category"),
                 "expression": rec.get("hlo_op_expression"),
+                # jit scope path (`jit(entry)/.../pallas_call`) + source
+                # file — how Pallas custom calls are attributed BY NAME in
+                # scripts/kernel_roofline.py
+                "tf_op_name": rec.get("tf_op_name"),
+                "source_info": rec.get("source_info"),
                 "occurrences": occ,
                 "total_self_us": float(rec.get("total_self_time") or 0.0),
                 "avg_self_us": float(rec.get("total_self_time") or 0.0) / occ,

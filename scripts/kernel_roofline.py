@@ -3,15 +3,23 @@ efficiency" section; also `scripts/bench_suite.py --profile`).
 
 For each benchmark config this runs the full jitted forward under a
 jax.profiler trace and reads MEASURED per-HLO device times via xprof
-(utils.profiling.collect_hlo_stats). Pallas kernels report achieved
-bandwidth as (exact modeled HBM bytes) / (measured time): xprof carries
-no byte counters for custom calls, but every kernel's DMA traffic is
-deterministic from its launch geometry — the models below mirror the
-planners in kernels/*.py. XLA ops report xprof's own measured hbm_bw.
+(utils.profiling.collect_hlo_stats). Pallas kernels are identified BY
+NAME — xprof's tf_op_name carries `jit(<entry>)/.../pallas_call` and
+source_info carries the kernel file, so every custom call is attributed
+to exactly one kernel row and never lumped into a neighbour (the old
+result-shape regexes folded cvc_lowmaps into the WTA row at 2K).
 
-Peaks: v5e HBM ~819 GB/s. Kernels well below the HBM roofline at high
-VPU occupancy are compute(VPU)-bound — the table marks the boundedness
-accordingly.
+Two roofline columns per kernel:
+  * HBM:  achieved bandwidth = (exact modeled DMA bytes) / (measured
+    time) vs the v5e ~819 GB/s peak. xprof carries no byte counters for
+    custom calls, so the byte models below mirror the kernel planners.
+  * VPU:  achieved elementwise vector ops/s = (modeled vector op count)
+    / (measured time) vs the MEASURED f32 VPU peak (scripts/vpu_peak.py,
+    cached in VPU_PEAK.json). Op models count per-element VPU
+    instructions from the kernel source (FMA = 2); MXU matmuls, DMA
+    waits and relayouts are excluded, so %VPU is the fraction of the
+    kernel's wall spent doing irreducible vector math — the headroom
+    indicator the "VPU-bound" label used to hide.
 
 Usage: python scripts/kernel_roofline.py [--update-scaling-md]
 """
@@ -116,32 +124,132 @@ def sgbm_kernel_bytes(H, W, D):
 
 
 # ---------------------------------------------------------------------------
+# vector-op models: per-element VPU instructions counted from the kernel
+# sources (FMA = 2 ops — the same accounting scripts/vpu_peak.py measures
+# the peak with). MXU matmuls, transposes/relayouts and DMA are excluded.
+# ---------------------------------------------------------------------------
 
-def classify(recs, patterns):
-    """Group xprof rows by (name regex, optional expression regex) ->
-    {group: {ms, gbps}}. Pallas kernels often share the enclosing jit's
-    name (stereo_gif_forward.N), so the HLO expression (result
-    dtype/shape) disambiguates them."""
+def gif_kernel_vops(H, W, D, s=4, wmf_radius=9, n_bins=None):
+    """Modeled VPU op counts per frame (both views) for the GIF kernels."""
+    from primestereomatch_tpu.kernels.wta_pallas import poly_col_params
+    from primestereomatch_tpu.ops.resize import nearest_indices
+
+    n_bins = n_bins or D
+    w = len(nearest_indices(W, W // s))
+    pp = poly_col_params(w, W)
+    out = {}
+    if pp is not None:
+        # _wta_kernel_poly per (d, output px):
+        #   masked tap mode: 4 guide combines (3 mul + 3 add each) = 24,
+        #   4 tap selects, lerp (2 mul + 1 add) = 3, d==0 inf mask 2,
+        #   chunk min + argmin passes ~3  -> ~36
+        #   exact-static mode: 2 combines = 12, no selects -> ~20
+        per_d = 36.0 if not pp["exact"] else 36.0  # batched launch => masked
+        out["wta poly (2 views)"] = 2 * H * W * D * per_d
+    # _wmf_kernel per px: pass 1 per window offset: 3 sub + 3 mul + 2 add
+    # (color dist) + exp ~8 + mul-valid + acc = 18; pass 2 per probe per
+    # offset: convert + cmp + select + acc = 4, probes <= log2(n_bins)
+    # (the bounded search usually does fewer -> %VPU is a lower bound).
+    win = 2 * wmf_radius + 1
+    probes = float(np.ceil(np.log2(max(n_bins, 2))))
+    out["joint WMF (2 views)"] = 2 * H * W * (win * win * (18 + probes * 4))
+    # cvc_lowmaps: per (d, low px): pair cost ~ 4 sub + 4 abs + 3 add +
+    # 2 min + 2 mul + 1 add + mask select ~ 17, then the box/solve/box
+    # maps chain ~ 60 ops per (d, low px) on the k=5 window scans
+    # (2 box passes x 2 axes x ~5 adds + 3x3 solve ~ 24) — coarse model.
+    h, wl = H // s, W // s
+    out["cvc_lowmaps (2 views)"] = 2 * D * h * wl * (17 + 60)
+    out["lowmaps (2 views)"] = 2 * D * h * wl * 60
+    return out
+
+
+def sgbm_kernel_vops(H, W, D):
+    """Modeled VPU op counts per frame for the SGBM Pallas kernels
+    (coarse: counted from kernels/sgbm_pallas.py / select_pallas.py)."""
+    out = {}
+    # bt cost per (d, px): 3 channels x (min/max prep amortized) ~ |l-r|
+    # BT terms: per channel 2 sub + 2 min + 1 max + ... ~ 12, + block sum
+    # folds ~ 4 (running-sum reuse)
+    out["bt block cost"] = float(H) * W * D * 16
+    # aggregation: per (d, px, scan) ~ shifted-min tournament over 4
+    # candidates + P1/P2 adds + normalize: ~10 ops, 4 scan groups
+    out["aggregation scans"] = float(H) * W * D * 4 * 10
+    # select: per (d, px): 3 partial adds + packed-key min fold ~ 4 +
+    # far-min top-4 track ~ 6
+    out["select (partials)"] = float(H) * W * D * 13
+    return out
+
+
+# ---------------------------------------------------------------------------
+
+# Pallas entry name -> display row. Entry names come from tf_op_name's
+# innermost jit(...) (the @jax.jit wrapper around each kernel entry) or,
+# when the entry is not jitted by itself, from the kernel file in
+# source_info. Unmatched Pallas kernels get their raw entry name as the
+# row label — a kernel can never silently land in "XLA glue".
+PALLAS_LABELS = [
+    (r"fgf_wta_pallas|wta_pallas", "wta poly (2 views)"),
+    (r"joint_wmf_pallas|wmf_pallas", "joint WMF (2 views)"),
+    (r"cvc_fgf_low_maps|cvc_lowmaps", "cvc_lowmaps (2 views)"),
+    (r"fgf_low_maps|lowmaps_pallas", "lowmaps (2 views)"),
+    (r"bt_block_cost", "bt block cost"),
+    (r"sgbm_aggregate|sgbm_scan|sgbm_pallas", "aggregation scans"),
+    (r"select_disparity|select_pallas", "select (partials)"),
+    (r"segmin_sweep|speckle_pallas", "speckle sweeps"),
+]
+
+
+def kernel_label(rec):
+    """Resolve an xprof row to its Pallas kernel row label, or None for
+    plain XLA ops."""
+    tf = str(rec.get("tf_op_name") or "")
+    if "pallas_call" not in tf:
+        return None
+    jits = re.findall(r"jit\(([^)]+)\)", tf)
+    entry = next(
+        (j for j in reversed(jits) if j not in ("<lambda>", "_lambda_")),
+        None,
+    )
+    src = str(rec.get("source_info") or "")
+    m = re.search(r"kernels/([a-z0-9_]+)\.py", src)
+    file_key = m.group(1) if m else None
+    for pat, label in PALLAS_LABELS:
+        if (entry and re.search(pat, entry)) or (
+            file_key and re.search(pat, file_key)
+        ):
+            return label
+    return entry or file_key or "pallas (unknown)"
+
+
+def classify(recs, xla_patterns=()):
+    """Group xprof rows -> ({label: {ms, gbps}}, glue_ms, glue_rows).
+    Pallas custom calls are matched BY KERNEL NAME via kernel_label();
+    xla_patterns is a list of (label, name regex, category regex) for
+    named non-Pallas groups (e.g. the XLA sorts of the speckle filter).
+    Everything else is glue; the top glue rows are returned for
+    attribution."""
     groups = {}
-    other_ms = 0.0
+    glue_ms = 0.0
+    glue_rows = []
     for rec in recs:
-        name = str(rec["name"])
-        expr = str(rec.get("expression") or "")
         ms = rec["total_self_us"] / 1e3
-        for entry in patterns:
-            gname, name_pat = entry[0], entry[1]
-            expr_pat = entry[2] if len(entry) > 2 else None
-            if re.match(name_pat, name) and (
-                expr_pat is None or re.search(expr_pat, expr)
-            ):
-                g = groups.setdefault(gname, {"ms": 0.0, "gbps": []})
-                g["ms"] += ms
-                if rec["hbm_gbps"]:
-                    g["gbps"].append(rec["hbm_gbps"])
-                break
-        else:
-            other_ms += ms
-    return groups, other_ms
+        label = kernel_label(rec)
+        if label is None:
+            name = str(rec["name"])
+            cat = str(rec.get("category") or "")
+            for gname, name_pat, cat_pat in xla_patterns:
+                if re.match(name_pat, name) or re.match(cat_pat, cat):
+                    label = gname
+                    break
+        if label is None:
+            glue_ms += ms
+            glue_rows.append(rec)
+            continue
+        g = groups.setdefault(label, {"ms": 0.0, "gbps": []})
+        g["ms"] += ms
+        if rec["hbm_gbps"]:
+            g["gbps"].append(rec["hbm_gbps"])
+    return groups, glue_ms, glue_rows
 
 
 def profile_config(name, fn, args, steps=4):
@@ -169,50 +277,66 @@ def run(update_scaling_md=False):
         reps = (Ht // img.shape[0] + 1, Wt // img.shape[1] + 1, 1)
         return np.tile(img, reps)[:Ht, :Wt]
 
-    gif_patterns = [
-        ("joint WMF (2 views)", r"joint_wmf_pallas"),
-        # maps producer: 4-D f32 (4, D, HP, WT) result; WTA: s32 result
-        ("cvc_lowmaps (2 views)", r".*", r"= f32\[4,\d+,\d+,\d+\].*custom-call"),
-        ("lowmaps (2 views)", r"fgf_low_maps_pallas"),
-        ("wta poly (2 views)", r"stereo_gif_forward|_lambda_",
-         r"= s32\[.*custom-call"),
+    # named non-Pallas groups: the speckle filter's XLA sorts
+    sgbm_xla_patterns = [
+        ("speckle area sorts", r"sort", r"sort"),
     ]
-    sgbm_patterns = [
-        ("bt block cost", r"bt_block_cost"),
-        ("aggregation scans", r"sgbm_aggregate"),
-        ("select (partials)", r"stereo_sgbm_forward"),
-        ("speckle sweeps", r"segmin_sweep"),
-        ("speckle area sorts", r"sort"),
-    ]
+
+    from scripts.vpu_peak import vpu_peak_ops
+
+    try:
+        vpu_peak = vpu_peak_ops()
+    except Exception as e:  # noqa: BLE001
+        print(f"VPU peak unavailable ({e}); %VPU column will be blank")
+        vpu_peak = None
 
     lines = []
 
-    def emit(header, recs, patterns, byte_models, frame_ms):
+    def emit(header, recs, byte_models, vop_models, frame_ms,
+             xla_patterns=()):
         lines.append(f"\n### {header} (measured, v5e single chip)\n")
         lines.append(
-            "| kernel | ms/frame | HBM GB | GB/s | % HBM peak | bound |"
+            "| kernel | ms/frame | HBM GB | GB/s | % HBM | Gops | % VPU "
+            "| bound |"
         )
-        lines.append("|---|---|---|---|---|---|")
-        groups, other = classify(recs, patterns)
+        lines.append("|---|---|---|---|---|---|---|---|")
+        groups, glue_ms, glue_rows = classify(recs, xla_patterns)
         for gname, g in sorted(groups.items(), key=lambda kv: -kv[1]["ms"]):
             ms = g["ms"]
             if gname in byte_models:
                 gb = byte_models[gname] / 1e9
                 gbps = gb / (ms / 1e3)
-                frac = 100.0 * gbps / HBM_PEAK
-                bound = "VPU" if frac < 50 else "HBM"
-                lines.append(
-                    f"| {gname} | {ms:.2f} | {gb:.2f} | {gbps:.0f} | "
-                    f"{frac:.0f}% | {bound} |"
-                )
+                hbm_s = f"{gb:.2f} | {gbps:.0f} | {100 * gbps / HBM_PEAK:.0f}%"
+                hbm_frac = gbps / HBM_PEAK
             else:
                 gbps = max(g["gbps"], default=0.0)
-                lines.append(
-                    f"| {gname} | {ms:.2f} | — | {gbps:.0f} (xprof) | "
-                    f"{100.0 * gbps / HBM_PEAK:.0f}% | — |"
-                )
-        lines.append(f"| XLA glue (everything else) | {other:.2f} | | | | HBM |")
-        lines.append(f"| **total device** | **{frame_ms:.2f}** | | | | |")
+                hbm_s = f"— | {gbps:.0f} (xprof) | {100 * gbps / HBM_PEAK:.0f}%"
+                hbm_frac = gbps / HBM_PEAK
+            if gname in vop_models and vpu_peak:
+                gops = vop_models[gname] / 1e9
+                vfrac = (vop_models[gname] / (ms / 1e3)) / vpu_peak
+                vpu_s = f"{gops:.1f} | {100 * vfrac:.0f}%"
+            else:
+                vfrac = 0.0
+                vpu_s = "— | —"
+            bound = "HBM" if hbm_frac >= max(vfrac, 0.5) else (
+                "VPU" if vfrac >= 0.5 else "neither (overheads)"
+            )
+            lines.append(f"| {gname} | {ms:.2f} | {hbm_s} | {vpu_s} | {bound} |")
+        lines.append(
+            f"| XLA glue (everything else) | {glue_ms:.2f} | | | | | | |"
+        )
+        lines.append(
+            f"| **total device** | **{frame_ms:.2f}** | | | | | | |"
+        )
+        # stdout-only glue attribution (top rows) for lever hunting
+        print(f"-- {header}: top glue ops ({glue_ms:.2f} ms total)")
+        for r in sorted(glue_rows, key=lambda r: -r["total_self_us"])[:20]:
+            print(
+                f"   {str(r['name'])[:46]:46s} {str(r['category'])[:12]:12s}"
+                f" {r['total_self_us'] / 1e3:7.2f} ms "
+                f"{str(r.get('expression') or '')[:90]}"
+            )
 
     for cname, (Hc, Wc, Dc) in (
         ("GIF Teddy 450x375 d=64", (375, 450, 64)),
@@ -225,7 +349,8 @@ def run(update_scaling_md=False):
         _ = f(l_img, r_img)
         recs = profile_config(cname, f, (l_img, r_img))
         frame_ms = sum(r["total_self_us"] for r in recs) / 1e3
-        emit(cname, recs, gif_patterns, gif_kernel_bytes(Hc, Wc, Dc), frame_ms)
+        emit(cname, recs, gif_kernel_bytes(Hc, Wc, Dc),
+             gif_kernel_vops(Hc, Wc, Dc), frame_ms)
         print(f"{cname}: device total {frame_ms:.2f} ms", flush=True)
 
     for cname, (Hc, Wc, Dc) in (
@@ -239,8 +364,9 @@ def run(update_scaling_md=False):
         _ = fs(lu, ru)
         recs = profile_config(cname, fs, (lu, ru))
         frame_ms = sum(r["total_self_us"] for r in recs) / 1e3
-        emit(cname, recs, sgbm_patterns, sgbm_kernel_bytes(Hc, Wc, Dc),
-             frame_ms)
+        emit(cname, recs, sgbm_kernel_bytes(Hc, Wc, Dc),
+             sgbm_kernel_vops(Hc, Wc, Dc), frame_ms,
+             xla_patterns=sgbm_xla_patterns)
         print(f"{cname}: device total {frame_ms:.2f} ms", flush=True)
 
     table = "\n".join(lines) + "\n"

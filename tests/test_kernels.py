@@ -248,10 +248,12 @@ def test_wta_poly_matches_matmul_kernel(rng, H, W, D, s):
         interpret=True,
     ))
     assert (got != ref).mean() <= 1e-3
-    # tuple-layout maps route through the same poly path (auto re-padding)
+    # plain-layout maps route through the same poly path (re-padded into
+    # the margin layout; explicit maps_layout since tight single-tile
+    # margins can make plain and poly widths coincide)
     got2 = np.asarray(fgf_wta_pallas_maps(
         g, maps_plain, (h, w), (H, W), d_chunk=min(8, D), poly=True,
-        interpret=True,
+        maps_layout="plain", interpret=True,
     ))
     np.testing.assert_array_equal(got2, got)
     # tunable tile geometry (tile_h / poly_twq) must not change results
@@ -266,6 +268,82 @@ def test_wta_poly_matches_matmul_kernel(rng, H, W, D, s):
             tile_h=th, poly_twq=twq, interpret=True,
         ))
         np.testing.assert_array_equal(got_v, got)
+
+
+def test_wta_poison_d0_and_exact_batched(rng):
+    """Producer-side d=0 poison (lowmaps poison_d0=True: a_*=0,
+    b=D0_POISON) + consumer mask_d0=False must reproduce the in-kernel
+    inf-masked results bitwise — q(d=0)=D0_POISON loses every argmin just
+    like inf, without the per-chunk compare+select. Also: batched launches
+    at EXACT integer ratios now use the same static per-phase mode + XLA
+    edge fixup as single-frame dispatch — bitwise equal per frame."""
+    from primestereomatch_tpu.kernels.lowmaps_pallas import (
+        fgf_low_maps_pallas,
+        fgf_low_maps_pallas_batched,
+    )
+    from primestereomatch_tpu.kernels.wta_pallas import (
+        fgf_wta_pallas_maps,
+        fgf_wta_pallas_maps_batched,
+        poly_col_params,
+    )
+
+    H, W, D, s = 96, 256, 16, 4
+    h, w = H // s, W // s
+    pp = poly_col_params(w, W)
+    assert pp is not None and pp["exact"]
+    g = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+    p = jnp.asarray(rng.random((D, h, w)).astype(np.float32))
+    kw = dict(out_wp=pp["out_wp"], out_margin=pp["margin"], interpret=True)
+
+    maps_ref = fgf_low_maps_pallas(g, p, 8, 1e-4, s, **kw)
+    ref = np.asarray(fgf_wta_pallas_maps(
+        g, maps_ref, (h, w), (H, W), d_chunk=8, poly=True, interpret=True
+    ))
+    maps_poi = fgf_low_maps_pallas(g, p, 8, 1e-4, s, poison_d0=True, **kw)
+    # only the d=0 slice differs
+    np.testing.assert_array_equal(
+        np.asarray(maps_poi[:, 1:]), np.asarray(maps_ref[:, 1:])
+    )
+    got = np.asarray(fgf_wta_pallas_maps(
+        g, maps_poi, (h, w), (H, W), d_chunk=8, poly=True, mask_d0=False,
+        interpret=True,
+    ))
+    np.testing.assert_array_equal(got, ref)
+
+    # generic (non-poly) kernel honours mask_d0=False the same way
+    maps_ref_p = fgf_low_maps_pallas(g, p, 8, 1e-4, s, interpret=True)
+    maps_poi_p = fgf_low_maps_pallas(
+        g, p, 8, 1e-4, s, poison_d0=True, interpret=True
+    )
+    ref_g = np.asarray(fgf_wta_pallas_maps(
+        g, maps_ref_p, (h, w), (H, W), d_chunk=8, interpret=True
+    ))
+    got_g = np.asarray(fgf_wta_pallas_maps(
+        g, maps_poi_p, (h, w), (H, W), d_chunk=8, mask_d0=False,
+        interpret=True,
+    ))
+    np.testing.assert_array_equal(got_g, ref_g)
+
+    # batched exact-ratio: static mode + batched fixup == per-frame
+    B = 2
+    gb = jnp.asarray(rng.random((B, H, W, 3)).astype(np.float32))
+    pb = jnp.asarray(rng.random((B, D, h, w)).astype(np.float32))
+    maps_b = fgf_low_maps_pallas_batched(
+        gb, pb, 8, 1e-4, s, poison_d0=True, **kw
+    )
+    disp_b = np.asarray(fgf_wta_pallas_maps_batched(
+        gb, maps_b, (h, w), (H, W), d_chunk=8, poly=True, mask_d0=False,
+        interpret=True,
+    ))
+    for i in range(B):
+        maps_i = fgf_low_maps_pallas(
+            gb[i], pb[i], 8, 1e-4, s, poison_d0=True, **kw
+        )
+        disp_i = np.asarray(fgf_wta_pallas_maps(
+            gb[i], maps_i, (h, w), (H, W), d_chunk=8, poly=True,
+            mask_d0=False, interpret=True,
+        ))
+        np.testing.assert_array_equal(disp_b[i], disp_i)
 
 
 def test_lowmaps_pallas_vmap(rng):
