@@ -84,6 +84,70 @@ def main() -> None:
         # real kernel bug — fail the bench loudly rather than record it
         assert wta_mm < npx * 0.005 and wmf_mm < npx * 0.005, parity
 
+        # SGBM stage parity ON HARDWARE: integer math, so the Pallas
+        # kernels must be BIT-IDENTICAL to the XLA ops (0 px, no tie
+        # tolerance) — a Mosaic miscompile shows up here, not in tests
+        # (kernel tests run interpret-mode on CPU).
+        from primestereomatch_tpu.config import SGBMConfig
+        from primestereomatch_tpu.kernels.select_pallas import (
+            select_disparity_partials_pallas,
+        )
+        from primestereomatch_tpu.kernels.sgbm_pallas import (
+            bt_block_cost_pallas,
+            sgbm_aggregate_partials_pallas,
+        )
+        from primestereomatch_tpu.ops.sgbm import (
+            bt_block_cost,
+            clipped_xderiv,
+            select_disparity_hdw,
+        )
+
+        scfg = SGBMConfig()
+        H, W, ch = sample.left_bgr.shape
+        cost_bound = scfg.block_size**2 * ch * 2 * scfg.pre_filter_cap
+        l_ftr = clipped_xderiv(jnp.asarray(sample.left_bgr), scfg.pre_filter_cap)
+        r_ftr = clipped_xderiv(jnp.asarray(sample.right_bgr), scfg.pre_filter_cap)
+        C_k = bt_block_cost_pallas(
+            l_ftr, r_ftr, scfg.num_disparities, scfg.block_size,
+            cost_bound=cost_bound, rows_to=-(-H // 128) * 128,
+        )
+        C_x = bt_block_cost(
+            l_ftr, r_ftr, scfg.num_disparities, scfg.block_size,
+            cost_bound=cost_bound, feat_bound=2 * scfg.pre_filter_cap,
+            out_layout="dhw",
+        )
+        bt_mm = int(
+            (np.asarray(C_k)[:, :H, :W] != np.asarray(C_x)[:, :H, :W]).sum()
+        )
+        parts = sgbm_aggregate_partials_pallas(
+            C_k, scfg.p1, scfg.p2, scfg.num_directions,
+            cost_bound=cost_bound, in_layout="dhw", logical_hw=(H, W),
+        )
+        S_k = sum(np.asarray(q)[:H, :, :W].astype(np.int64) for q in parts)
+        from primestereomatch_tpu.ops.sgbm import aggregate
+
+        S_x = np.asarray(aggregate(
+            jnp.transpose(C_x, (1, 2, 0))[:H, :W], scfg.p1, scfg.p2,
+            scfg.num_directions, cost_bound=cost_bound,
+        ))
+        agg_mm = int((S_k != np.transpose(S_x, (0, 2, 1))).sum())
+        d_sel_k = np.asarray(select_disparity_partials_pallas(
+            parts, (H, W), scfg.uniqueness_ratio, scfg.disp12_max_diff,
+            scfg.min_disparity,
+            value_bound=scfg.num_directions * (cost_bound + scfg.p2),
+        ))
+        d_sel_x = np.asarray(select_disparity_hdw(
+            jnp.asarray(S_k.astype(np.int32)), scfg.uniqueness_ratio,
+            scfg.disp12_max_diff, scfg.min_disparity,
+        ))
+        sel_mm = int((d_sel_k != d_sel_x).sum())
+        parity.update(
+            sgbm_bt_mismatch_px=bt_mm,
+            sgbm_agg_mismatch_px=agg_mm,
+            sgbm_select_mismatch_px=sel_mm,
+        )
+        assert bt_mm == 0 and agg_mm == 0 and sel_mm == 0, parity
+
     print(json.dumps({
         "metric": "stereo_gif_fps_teddy_450x375_d64",
         "value": round(fps, 3),

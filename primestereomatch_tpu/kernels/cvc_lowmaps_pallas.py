@@ -197,7 +197,42 @@ def cvc_fgf_low_maps_pallas(
     the STACKED maps (4, D, HP, margin+WP) in fgf_wta_pallas_maps's layout
     (identical contract to fgf_low_maps_pallas). The (D, h, w) cost volume
     never exists in HBM. Exact-stride columns only — check
-    `cvc_lowmaps_applicable` first."""
+    `cvc_lowmaps_applicable` first.
+
+    vmap-able: frames dispatch sequentially (jax.lax.map — the per-frame
+    kernel already saturates the chip; see CLAUDE.md on vmap strategy)."""
+    @jax.custom_batching.custom_vmap
+    def run(a, ag, b, bg):
+        return _cvc_fgf_low_maps_impl(
+            a, ag, b, bg, is_left, max_dis, yi, xi, radius, eps, subsample,
+            out_wp, out_margin, alpha, border_cost, tau1, tau2, tile_h,
+            poison_d0, interpret,
+        )
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, a, ag, b, bg):  # noqa: ANN001
+        def bcast(x, batched):
+            return x if batched else jnp.broadcast_to(x, (axis_size, *x.shape))
+
+        args = [bcast(x, bb) for x, bb in zip((a, ag, b, bg), in_batched)]
+        out = jax.lax.map(
+            lambda xs: _cvc_fgf_low_maps_impl(
+                *xs, is_left, max_dis, yi, xi, radius, eps, subsample,
+                out_wp, out_margin, alpha, border_cost, tau1, tau2, tile_h,
+                poison_d0, interpret,
+            ),
+            tuple(args),
+        )
+        return out, True
+
+    return run(img, grd, other_img, other_grd)
+
+
+def _cvc_fgf_low_maps_impl(
+    img, grd, other_img, other_grd, is_left, max_dis, yi, xi, radius, eps,
+    subsample, out_wp, out_margin, alpha, border_cost, tau1, tau2, tile_h,
+    poison_d0, interpret,
+):
     H, W, _ = img.shape
     yi = np.asarray(yi)
     xi = np.asarray(xi)

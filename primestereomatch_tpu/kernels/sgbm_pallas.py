@@ -85,9 +85,11 @@ def _sgbm_scan_kernel(
     p1: int, p2: int,
     n_valid: int, Dp: int, Np: int, R: int,
     n_in: int,
-    out_dtype,
-    math_dtype,
-    acc_dtype,
+    n_adds: int = 0,           # extra operands summed into group outputs
+    group_add: tuple = (),     # per group: add-operand index or None
+    out_dtype=None,
+    math_dtype=None,
+    acc_dtype=None,
 ):
     """math_dtype int16 keeps the carry, loads and stores on narrow
     vectors (half the VMEM footprint — the enabling constraint for
@@ -99,8 +101,9 @@ def _sgbm_scan_kernel(
     acc_dtype (uint16 when 3 * l_bound < 2**16 — exact) so at most one
     extra plane per output group is ever live."""
     c_refs = refs[:n_in]
-    out_refs = refs[n_in:n_in + len(groups)]
-    L_ref = refs[n_in + len(groups)]
+    add_refs = refs[n_in:n_in + n_adds]
+    out_refs = refs[n_in + n_adds:n_in + n_adds + len(groups)]
+    L_ref = refs[n_in + n_adds + len(groups)]
 
     t = pl.program_id(0)
 
@@ -155,7 +158,16 @@ def _sgbm_scan_kernel(
             a = L.astype(acc_dtype)
             accs[oi] = a if j == 0 else accs[oi] + a
             if j == len(lanes) - 1:
-                out_refs[oi][R - 1 - ri if rev else ri] = accs[oi].astype(out_dtype)
+                row_o = R - 1 - ri if rev else ri
+                val = accs[oi]
+                if group_add and group_add[oi] is not None:
+                    # fold a prior launch's partial into this store (the
+                    # split fwd/bwd x-scan pair sum rides the bwd launch —
+                    # no standalone XLA add+re-read of two full volumes)
+                    val = val.astype(acc_dtype) + add_refs[group_add[oi]][
+                        row_o
+                    ].astype(acc_dtype)
+                out_refs[oi][row_o] = val.astype(out_dtype)
                 accs[oi] = None
 
 
@@ -182,6 +194,9 @@ def sgbm_scan_pallas(
     out_dtype=jnp.uint16,
     math_dtype=jnp.int32,      # carry/storage dtype (compute is int32)
     acc_dtype=jnp.int32,       # in-kernel group-sum dtype
+    group_adds: tuple | None = None,  # per group: tensor summed into the
+                               # output (natural orientation, rows >= T),
+                               # or None — single-orientation launches only
     interpret: bool = False,
 ):
     """Run all lanes over the T axis in one launch (or two when VMEM
@@ -195,14 +210,16 @@ def sgbm_scan_pallas(
     in_size = cost_tdn.dtype.itemsize
     out_size = jnp.dtype(out_dtype).itemsize
     carry_size = jnp.dtype(math_dtype).itemsize
+    adds = tuple(group_adds or (None,) * len(groups))
+    n_adds = sum(a is not None for a in adds)
 
     # --- launch plan: largest R fitting the budget; split fwd/bwd if not -
     def best_r(n_in, n_out, n_lanes):
         if _FORCE_R is not None:
             return _FORCE_R
         for r in (8, 4, 2, 1):
-            if _plan_bytes(r, Dp, Np, n_in, n_out, in_size, out_size,
-                           n_lanes, carry_size) <= _VMEM_BUDGET:
+            if _plan_bytes(r, Dp, Np, n_in + n_adds, n_out, in_size,
+                           out_size, n_lanes, carry_size) <= _VMEM_BUDGET:
                 return r
         return None
 
@@ -213,6 +230,8 @@ def sgbm_scan_pallas(
     op_ix = {d_: i for i, d_ in enumerate(used_dirs)}
     R = best_r(n_in, len(groups), len(shifts))
     if R is None and n_in == 2:
+        if n_adds:
+            raise ValueError("group_adds launches cannot split fwd/bwd")
         # split into forward-only and backward-only launches; each output
         # group must then be pure fwd or pure bwd (true for every caller:
         # groups mirror the scan orientation)
@@ -266,21 +285,32 @@ def sgbm_scan_pallas(
     out_specs = []
     out_shapes = []
     kgroups = []
+    kadds = []
     for oi, (lanes, rev) in enumerate(groups):
         if rev:
-            out_specs.append(
-                pl.BlockSpec((R, Dp, Np), lambda t, Tb=Tb: (Tb - 1 - t, 0, 0))
-            )
+            spec = pl.BlockSpec((R, Dp, Np), lambda t, Tb=Tb: (Tb - 1 - t, 0, 0))
         else:
-            out_specs.append(pl.BlockSpec((R, Dp, Np), lambda t: (t, 0, 0)))
+            spec = pl.BlockSpec((R, Dp, Np), lambda t: (t, 0, 0))
+        out_specs.append(spec)
         out_shapes.append(jax.ShapeDtypeStruct((Tp, Dp, Np), out_dtype))
         kgroups.append((tuple(lanes), oi, bool(rev)))
+        if adds[oi] is not None:
+            a = adds[oi]
+            if a.shape[0] < Tp:      # pad rows land in the trimmed tail
+                a = jnp.pad(a, ((0, Tp - a.shape[0]), (0, 0), (0, 0)))
+            # the add rides the SAME index map as its group's output
+            in_specs.append(spec)
+            operands.append(a[:Tp])
+            kadds.append(len(kadds))
+        else:
+            kadds.append(None)
 
     kernel = functools.partial(
         _sgbm_scan_kernel,
         shifts=tuple(shifts), lane_op=lane_op,
         lane_rev=tuple(bool(d_) for d_ in lane_dir), groups=tuple(kgroups),
         p1=p1, p2=p2, n_valid=n_valid, Dp=Dp, Np=Np, R=R, n_in=n_in,
+        n_adds=n_adds, group_add=tuple(kadds),
         out_dtype=out_dtype, math_dtype=math_dtype, acc_dtype=acc_dtype,
     )
     outs = pl.pallas_call(
@@ -333,12 +363,23 @@ def _bt_cost_kernel(
     l_mx = l_ref[6:9].astype(jnp.int32)
 
     # all nine right planes ride ONE (9*TI, Wp) vector: one widen, one
-    # left-edge column, one dynamic d0 roll, then one static roll + one
-    # masked select per d (vs 9 of each with per-plane math)
+    # left-edge column, one dynamic d0 roll, then one static roll per d
+    # (vs 9 of each with per-plane math)
     r_all = r_ref[:].astype(jnp.int32).reshape(9 * TI, Wp)
     col0 = r_all[:, 0:1]
     base = pltpu.roll(r_all, d0, axis=1)
-    lane9 = jax.lax.broadcasted_iota(jnp.int32, (9 * TI, Wp), 1)
+
+    # left-edge replicate (reference pad_l semantics) hoisted OUT of the
+    # d loop: lanes x < d must see BT(l(x), r(col 0)). Instead of a
+    # 9-plane input select per d (9 ops/(d, px)), compute the edge PIXEL
+    # COST once per tile and patch the cost plane per d (1 op) — integer
+    # math, bitwise the same values
+    c9 = col0.reshape(9, TI, 1)
+    rm0, rM0, rf0 = c9[0:3], c9[3:6], c9[6:9]
+    c1e = jnp.maximum(jnp.maximum(l_f - rM0, rm0 - l_f), 0)
+    c2e = jnp.maximum(jnp.maximum(rf0 - l_mx, l_mn - rf0), 0)
+    m3e = jnp.minimum(c1e, c2e)
+    pc_edge = m3e[0] + m3e[1] + m3e[2]            # (TI, Wp)
 
     lo = k // 2
     row0 = h * TH  # global image row of output row 0
@@ -349,14 +390,15 @@ def _bt_cost_kernel(
     for j in range(DC):
         d = d0 + j
         rolled = _roll_static(base, j) if j else base
-        # lanes x < d read the left-edge replicate (reference pad_l
-        # semantics); cyclic wrap junk only ever lands in those lanes
-        rv = jnp.where(lane9 < d, col0, rolled).reshape(9, TI, Wp)
+        rv = rolled.reshape(9, TI, Wp)
         rm, rM, rf = rv[0:3], rv[3:6], rv[6:9]
         c1 = jnp.maximum(jnp.maximum(l_f - rM, rm - l_f), 0)
         c2 = jnp.maximum(jnp.maximum(rf - l_mx, l_mn - rf), 0)
         m3 = jnp.minimum(c1, c2)
         pc = m3[0] + m3[1] + m3[2]
+        # lanes x < d carried cyclic wrap junk through the BT math —
+        # overwrite with the edge-replicate cost (see pc_edge above)
+        pc = jnp.where(lane < d, pc_edge, pc)
         # horizontal edge replicate: lanes >= W take column W-1
         pc = jnp.where(lane >= W, pc[:, W - 1 : W], pc)
         # vertical k-window sum (halo rows included in the block)
@@ -628,12 +670,6 @@ def sgbm_aggregate_partials_pallas(
     cx = jnp.pad(
         cx, ((0, 0), (0, 0), (0, _round_up(cx.shape[2], 128) - cx.shape[2]))
     )
-    Lx_f, Lx_b = sgbm_scan_pallas(
-        cx, p1, p2, shifts=(0, 0), lane_dir=(False, True),
-        groups=(((0,), False), ((1,), True)), n_valid=H,
-        out_dtype=out_dt, math_dtype=math_dt, acc_dtype=acc_dt,
-        interpret=interpret,
-    )
     # x-scan pair: sum BEFORE the transpose, at uint16 when the bound
     # allows (each group is one lane, <= l_bound) — half the transpose
     # bytes. The scan-padding rows beyond W are KEPT (their values are
@@ -647,7 +683,39 @@ def sgbm_aggregate_partials_pallas(
         else jnp.int32
     )
     Tx = cx.shape[0]                        # trim only the scans' R padding
-    Sx = Lx_f[:Tx].astype(pair_dt) + Lx_b[:Tx].astype(pair_dt)
+    merged_fits = _FORCE_R is not None or any(
+        _plan_bytes(r, cx.shape[1], cx.shape[2], 2, 2, cx.dtype.itemsize,
+                    jnp.dtype(out_dt).itemsize, 2,
+                    jnp.dtype(math_dt).itemsize) <= _VMEM_BUDGET
+        for r in (8, 4, 2, 1)
+    )
+    if merged_fits:
+        Lx_f, Lx_b = sgbm_scan_pallas(
+            cx, p1, p2, shifts=(0, 0), lane_dir=(False, True),
+            groups=(((0,), False), ((1,), True)), n_valid=H,
+            out_dtype=out_dt, math_dtype=math_dt, acc_dtype=acc_dt,
+            interpret=interpret,
+        )
+        Sx = Lx_f[:Tx].astype(pair_dt) + Lx_b[:Tx].astype(pair_dt)
+    else:
+        # the launch would split fwd/bwd anyway (VMEM): make the bwd
+        # launch ABSORB the fwd result (group_adds) so the pair sum never
+        # runs as a standalone XLA add re-reading both volumes — at 2K
+        # that add+bitcast fusion alone measured 6.6 ms
+        (Lx_f,) = sgbm_scan_pallas(
+            cx, p1, p2, shifts=(0,), lane_dir=(False,),
+            groups=(((0,), False),), n_valid=H,
+            out_dtype=out_dt, math_dtype=math_dt, acc_dtype=acc_dt,
+            interpret=interpret,
+        )
+        (Sx,) = sgbm_scan_pallas(
+            cx, p1, p2, shifts=(0,), lane_dir=(True,),
+            groups=(((0,), True),), n_valid=H,
+            out_dtype=pair_dt, math_dtype=math_dt,
+            acc_dtype=jnp.int32 if pair_dt == jnp.int32 else acc_dt,
+            group_adds=(Lx_f,), interpret=interpret,
+        )
+        Sx = Sx[:Tx]
     Px = jnp.transpose(Sx, (2, 1, 0))       # (lanes >= H, D, rows_W >= W)
 
     # y-scans: T = H, line axis = W -> (H, D, W). Scan rows pad to the

@@ -9,10 +9,14 @@ replaces the 64-bin one-hot accumulation with a weighted-median *binary
 search* over the bin axis:
 
   pass 1: for each window offset, compute the bilateral weight
-          w = exp(-(|dc|^2/(2 sig^2)) ) * valid once, cache (w, d) in VMEM
-          scratch, and accumulate the total weight;
-  pass 2: log2(n_bins) probes: cum(mid) = sum_q w_q [d_q <= mid],
-          classic lower_bound -> smallest bin with cum >= total/2.
+          w = exp(-(|dc|^2/(2 sig^2))) once (times `valid` only when a
+          participation plane is given — the library default has none,
+          and out-of-image exclusion then comes free from the _BORDER_C
+          guide padding whose weight underflows to exactly +0.0), cache
+          (w, d) in VMEM scratch, and accumulate the total weight;
+  pass 2: bounded lower_bound over the monotone cum(b) via _NWAY-way
+          probes: each (w, d) re-read decides log2(_NWAY) binary levels
+          (bit-identical to binary search; see the probe loop).
 
 Work per pixel drops from O(win^2 * n_bins) to O(win^2 * (1 + log2 n_bins))
 and the histogram tensor never exists. Numerics: identical weights; the

@@ -250,19 +250,21 @@ def poly_col_params(w: int, W: int, twq: int | None = None) -> dict | None:
             raise ValueError(f"twq {twq} must be a multiple of 128")
         twq = min(twq, _round_up(wq, 128))
         ntxq = -(-wq // twq)
-        margin = POLY_MARGIN
+        cs = twq + 2 * POLY_MARGIN
     elif _round_up(wq, 8) <= POLY_TWQ_MAX:
-        # SINGLE-TILE width: the slab window is [0, CS) regardless of
-        # alignment (j == 0), so the margin shrinks from the 128-lane
-        # alignment unit to the smallest M >= 2 making CS = twq + 2M a
-        # lane-tile multiple. The slab DMA, the row-interp matmul N and
-        # the rowed/transpose volumes all scale with CS: 2K 896 -> 640,
-        # HD720 640 -> 384, Teddy-quasi 512 -> 256 lanes.
-        twq = _round_up(wq, 8)                  # even, so 2M works out
+        # SINGLE-TILE width: the slab window is [0, cs) (j == 0), so only
+        # the kernel's static slice bounds constrain the window — trim the
+        # RIGHT slack to the lane tile: cs = round_up(margin + twq + 2,
+        # 128) instead of twq + 2*margin. The slab DMA, the row-interp
+        # matmul N and the rowed/transpose volumes all scale with cs:
+        # 2K 896 -> 768, HD720 640 -> 512, Teddy-quasi 512 -> 384 lanes.
+        # The LEFT margin stays POLY_MARGIN = 128: the producers store
+        # the data at that lane offset, and a non-128 store offset sends
+        # Mosaic into a pathological retiling compile (measured: a
+        # margin-44 lowmaps at 2K did not finish compiling in 15 min).
+        twq = _round_up(wq, 8)
         ntxq = 1
-        margin = ((-twq) % 128) // 2
-        if margin < 2:
-            margin += 64
+        cs = _round_up(POLY_MARGIN + twq + 2, 128)
     else:
         # multi-tile: every tile's window start j*TWQ - margin must stay
         # 128-aligned, so twq and margin are 128-multiples; pick the
@@ -275,15 +277,17 @@ def poly_col_params(w: int, W: int, twq: int | None = None) -> dict | None:
         )
         twq = min(twq, _round_up(wq, 128))
         ntxq = -(-wq // twq)
-        margin = POLY_MARGIN
-    # maps width: margin + data, with every slab window in-bounds
-    wp = ntxq * twq + margin
+        cs = twq + 2 * POLY_MARGIN
+    # maps width: margin + data, with every slab window in-bounds; the
+    # out_wp data width is cs - margin for the single-tile case (always a
+    # 128-multiple, so the producers' aligned-lane plans hold)
+    wp = (ntxq - 1) * twq + cs - POLY_MARGIN
     deltas = tuple(
         int(np.floor((r + 0.5) / P - 0.5)) for r in range(P)
     )
     return {
-        "P": P, "TWQ": twq, "ntxq": ntxq, "out_wp": wp,
-        "margin": margin, "deltas": deltas, "ncl": P // 2,
+        "P": P, "TWQ": twq, "ntxq": ntxq, "out_wp": wp, "cs": cs,
+        "margin": POLY_MARGIN, "deltas": deltas, "ncl": P // 2,
         "wq": wq, "exact": exact, "e": e_tab, "wx": wx_tab,
     }
 
@@ -462,12 +466,45 @@ def fgf_wta_pallas_maps(
     called with the SAME poly_twq). mask_d0=False skips the in-kernel
     d==0 inf mask — only valid when the maps producer ran with
     poison_d0=True (lowmaps/cvc_lowmaps write a_*=0, b=D0_POISON at d=0,
-    so d=0 loses every argmin without per-chunk masking work)."""
-    return _fgf_wta_pallas_impl(
-        guide, maps, out_hw=out_hw, d_chunk=d_chunk, interpret=interpret,
-        logical_hw=logical_hw, poly=poly, tile_h=tile_h, poly_twq=poly_twq,
-        mm_precision=mm_precision, mask_d0=mask_d0, maps_layout=maps_layout,
-    )
+    so d=0 loses every argmin without per-chunk masking work).
+
+    vmap-able: the batching rule FOLDS the frames into the row-tile grid
+    axis (one fgf_wta_pallas_maps_batched launch for the whole batch;
+    the (B, 4, D, HPf, WPm) -> (4, D, B*HPf, WPm) relayout is the only
+    extra copy)."""
+
+    @jax.custom_batching.custom_vmap
+    def run(g, m):
+        return _fgf_wta_pallas_impl(
+            g, m, out_hw=out_hw, d_chunk=d_chunk, interpret=interpret,
+            logical_hw=logical_hw, poly=poly, tile_h=tile_h,
+            poly_twq=poly_twq, mm_precision=mm_precision, mask_d0=mask_d0,
+            maps_layout=maps_layout,
+        )
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, g, m):  # noqa: ANN001
+        if mm_precision != "highest":
+            raise NotImplementedError(
+                "vmap of fgf_wta_pallas_maps supports mm_precision='highest'"
+            )
+        gb, mb = in_batched
+
+        def bcast(x, batched):
+            return x if batched else jnp.broadcast_to(x, (axis_size, *x.shape))
+
+        g = bcast(g, gb)
+        m = bcast(m, mb)
+        B, n4, D, HPf, WPm = m.shape
+        mf = jnp.moveaxis(m, 0, 2).reshape(n4, D, B * HPf, WPm)
+        out = fgf_wta_pallas_maps_batched(
+            g, mf, logical_hw, out_hw, d_chunk=d_chunk, poly=poly,
+            tile_h=tile_h, poly_twq=poly_twq, mask_d0=mask_d0,
+            maps_layout=maps_layout, interpret=interpret,
+        )
+        return out, True
+
+    return run(guide, maps)
 
 
 @functools.partial(
@@ -653,7 +690,7 @@ def _wta_poly_run(guide, maps, h, w, out_hw, DC, pp, interpret, tile_h=None,
     masked = not pp["exact"]
     D = maps.shape[1]
     wq_p = ntxq * TWQ
-    CS = TWQ + 2 * margin
+    CS = pp["cs"]
     want_w = margin + pp["out_wp"]
 
     if not masked:

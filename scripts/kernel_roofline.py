@@ -79,7 +79,7 @@ def gif_kernel_bytes(H, W, D, s=4):
 
         # poly WTA: slab reads per (row tile, chunk); disp written once
         TWQ, ntxq, margin, P = pp["TWQ"], pp["ntxq"], pp["margin"], pp["P"]
-        CS = TWQ + 2 * margin
+        CS = pp["cs"]
         sy, _ = linear_coeffs(h, H)
         THw = 32
         hp = _round_up(H, THw)

@@ -346,6 +346,70 @@ def test_wta_poison_d0_and_exact_batched(rng):
         np.testing.assert_array_equal(disp_b[i], disp_i)
 
 
+def test_wta_maps_entry_vmap(rng):
+    """jax.vmap of the Pallas maps entry folds the batch into ONE
+    fgf_wta_pallas_maps_batched launch — per-frame bitwise equal. This is
+    what makes jax.vmap(stereo_gif_forward) viable with the default
+    Pallas impls (the round-3 25x vmap trap)."""
+    import jax
+
+    from primestereomatch_tpu.kernels.lowmaps_pallas import fgf_low_maps_pallas
+    from primestereomatch_tpu.kernels.wta_pallas import (
+        fgf_wta_pallas_maps,
+        poly_col_params,
+    )
+
+    B, H, W, D, s = 2, 96, 256, 16, 4
+    h, w = H // s, W // s
+    pp = poly_col_params(w, W)
+    g = jnp.asarray(rng.random((B, H, W, 3)).astype(np.float32))
+    p = jnp.asarray(rng.random((B, D, h, w)).astype(np.float32))
+    kw = dict(out_wp=pp["out_wp"], out_margin=pp["margin"], interpret=True)
+    maps = jax.vmap(
+        lambda gg, pq: fgf_low_maps_pallas(gg, pq, 8, 1e-4, s, **kw)
+    )(g, p)
+    out = np.asarray(jax.vmap(
+        lambda gg, mm: fgf_wta_pallas_maps(
+            gg, mm, (h, w), (H, W), d_chunk=8, poly=True, interpret=True
+        )
+    )(g, maps))
+    for i in range(B):
+        ref = np.asarray(fgf_wta_pallas_maps(
+            g[i], maps[i], (h, w), (H, W), d_chunk=8, poly=True,
+            interpret=True,
+        ))
+        np.testing.assert_array_equal(out[i], ref)
+
+
+def test_cvc_lowmaps_vmap(rng):
+    """jax.vmap of the fused CVC+lowmaps entry (sequential per-frame
+    dispatch) equals per-frame calls up to XLA fusion of the float prep
+    (the stats/_color_inverse_cov math fuses differently under lax.map —
+    same tolerance class as test_cvc_lowmaps_fused_matches_composition)."""
+    import jax
+
+    from primestereomatch_tpu.kernels.cvc_lowmaps_pallas import (
+        cvc_fgf_low_maps_pallas,
+    )
+    from primestereomatch_tpu.ops.resize import nearest_indices
+
+    B, H, W, D, s = 2, 64, 256, 8, 4
+    h, w = H // s, W // s
+    yi = nearest_indices(H, h)
+    xi = nearest_indices(W, w)
+    l = jnp.asarray(rng.random((B, H, W, 3)).astype(np.float32))
+    r = jnp.asarray(rng.random((B, H, W, 3)).astype(np.float32))
+    lg = jnp.asarray(rng.random((B, H, W)).astype(np.float32))
+    rg = jnp.asarray(rng.random((B, H, W)).astype(np.float32))
+    fn = lambda a, ag, b, bg: cvc_fgf_low_maps_pallas(  # noqa: E731
+        a, ag, b, bg, True, D, yi, xi, 8, 1e-4, s, interpret=True
+    )
+    out = np.asarray(jax.vmap(fn)(l, lg, r, rg))
+    for i in range(B):
+        ref = np.asarray(fn(l[i], lg[i], r[i], rg[i]))
+        np.testing.assert_allclose(out[i], ref, atol=5e-5, rtol=1e-3)
+
+
 def test_lowmaps_pallas_vmap(rng):
     from primestereomatch_tpu.kernels.lowmaps_pallas import fgf_low_maps_pallas
     import jax
