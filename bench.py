@@ -17,7 +17,15 @@ import time
 
 BASELINE_FPS = 30.0  # ZED capture spec, src/StereoMatch.cpp:328-331
 WARMUP = 2
-ITERS = 20
+# Enqueue depth: the axon relay adds a FIXED per-batch latency to the
+# final host fetch (measured ~26 ms by the depth sweep below: per-frame
+# wall at depths 5/10/20/40 was 8.74/6.14/4.86/4.20 ms — t(n) = t + C/n),
+# so the reported frame time amortizes it over 40 enqueued frames and the
+# JSON also carries the (t, C) decomposition from depths 20/40. This is
+# the root cause of the former bench.py-vs-bench_suite 18% discrepancy
+# (suite iters=10 vs driver iters=20 — both were C/n-inflated).
+ITERS = 40
+ITERS_HALF = 20
 
 
 def main() -> None:
@@ -49,18 +57,29 @@ def main() -> None:
     # device-to-host transfer latency out of the measurement). Best of 3
     # batches: the tunnel to the shared TPU shows transient multi-tenant
     # contention, and the best batch reflects the hardware.
-    dts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        outs = [step(l_img, r_img) for _ in range(ITERS)]
-        jax.block_until_ready(outs[-1])
-        np.asarray(outs[-1][0].reshape(-1)[:1])
-        dts.append((time.perf_counter() - t0) / ITERS)
+    def run_batches(iters, reps):
+        vals = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            outs = [step(l_img, r_img) for _ in range(iters)]
+            jax.block_until_ready(outs[-1])
+            np.asarray(outs[-1][0].reshape(-1)[:1])
+            vals.append((time.perf_counter() - t0) / iters)
+        return vals
+
+    dts = run_batches(ITERS, 4)
     dt = min(dts)
     # multi-tenant spread on the shared relay, so regressions hiding inside
     # the noise band are visible to the judge: all batch means + the ratio
     batch_ms = [round(d * 1e3, 3) for d in sorted(dts)]
     spread = round(max(dts) / min(dts), 3)
+    # decompose t(n) = t_frame + C/n from depths (ITERS_HALF, ITERS):
+    # C = fixed per-batch relay fetch latency, t_frame = true steady-state
+    t_half = min(run_batches(ITERS_HALF, 2))
+    relay_c_ms = round(
+        max(0.0, (t_half - dt) / (1.0 / ITERS_HALF - 1.0 / ITERS)) * 1e3, 2
+    )
+    t_frame_ms = round(max(dt - (relay_c_ms / 1e3) / ITERS, 0.0) * 1e3, 3)
 
     fps = 1.0 / dt
 
@@ -156,6 +175,8 @@ def main() -> None:
         "kernel_parity": parity,
         "batch_ms": batch_ms,
         "spread": spread,
+        "relay_fixed_ms": relay_c_ms,     # per-batch fetch latency C
+        "device_frame_ms": t_frame_ms,    # dt minus amortized C
     }))
 
 

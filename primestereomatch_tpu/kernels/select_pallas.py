@@ -41,6 +41,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = np.int32(1 << 28)
+# tuning hooks (None = defaults chosen in select_disparity_partials_pallas)
+_SEL_TH = None       # rows per tile (one-pass default 16)
+_SEL_DC = None       # disparities per grid step (one-pass default 16)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -335,13 +338,18 @@ def select_disparity_partials_pallas(
     )
     # one-pass holds ~12 extra running planes + the widened S chunk in
     # VMEM: DC=32 put the 2K launch ~6 MB over the 16 MB stack
-    DC = min(16 if one_pass else 32, D)
+    DC = min((_SEL_DC or 16) if one_pass else 32, D)
     while D % DC:
         DC //= 2
     # output blocks are (TH, Wp) so TH must be sublane-divisible; the
     # aggregation partials arrive with rows >= round_up(H, 8) (x-partial
-    # rows are lane-padded, the y-scan cost rows are pre-padded)
-    TH = 8
+    # rows are lane-padded, the y-scan cost rows are pre-padded).
+    # TH sweep on v5e 2K/d=256 one-pass: (TH=8, DC=16) 27.6 ms wall,
+    # (16, 8) 27.0, (16, 16)/(24, 8)/(32, 8) exceed the VMEM stack —
+    # the sequential grid-step count is NOT what binds this kernel, so
+    # the proven (8, 16) stays the default and the hooks remain for
+    # future sweeps
+    TH = _SEL_TH or 8
     Hp = _round_up(H, TH)
     n_dc = D // DC
     Wp = _round_up(W, 128)

@@ -218,6 +218,9 @@ POLY_MARGIN = 128
 POLY_TILE_H = 32   # output rows per tile (tuned on v5e: 42.5 ms vs 44.7 at
                    # tile_h=16 for 2K/d=256; see sweep in the docstring)
 POLY_TWQ_MAX = 768  # auto-tuned phase-column tile width search bound
+_ROWMM_BATCHED = True  # batched (maps*DC) row-interp matmul emitting the
+                       # (4, DC, TH, CS) layout directly (no transpose);
+                       # False = single wide matmul + VMEM transpose
 
 
 def poly_col_params(w: int, W: int, twq: int | None = None) -> dict | None:
@@ -339,17 +342,31 @@ def _wta_kernel_poly(
 
         get_dma(slot, c).wait()
         cur = slab[slot]                         # (4, DC, RS, CS)
-        rowed = jax.lax.dot_general(
-            w_row, cur,
-            dimension_numbers=(((1,), (2,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=mm_precision,                # exact-f32 taps (see above)
-        )                                        # (TH, 4, DC, CS)
-        # NOTE: the transpose-free variant (keep (TH, 4, DC, CS) and slice
-        # the map axis) measured SLOWER on v5e (54-62 ms vs 42 ms/view at
-        # 2K): the phase loop then runs on (DC, TWQ)-tiled minor dims and
-        # Mosaic schedules it worse than the (TH, CS)-minor layout below
-        rowed = jnp.transpose(rowed, (1, 2, 0, 3))  # (4, DC, TH, CS)
+        if _ROWMM_BATCHED:
+            # BATCHED row-interp matmul: batch = (maps, DC), so the
+            # result materializes directly as (4, DC, TH, CS) and the
+            # (TH, 4, DC, CS) -> (4, DC, TH, CS) VMEM transpose (a full
+            # relayout of the chunk, ~0.8 MB per step at 2K) disappears.
+            # Bitwise-identical: each output element is the same 2-tap
+            # 6-pass contraction. (An earlier transpose-free variant that
+            # kept the (TH, ...) layout and re-sliced the map axis was
+            # SLOWER, 54-62 vs 42 ms/view — the fix is changing the
+            # matmul's output layout, not the phase loop's.)
+            wr_b = jnp.broadcast_to(w_row, (4 * DC, TH, RS))
+            rowed = jax.lax.dot_general(
+                wr_b, cur.reshape(4 * DC, RS, CS),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=mm_precision,            # exact-f32 taps (see above)
+            ).reshape(4, DC, TH, CS)
+        else:
+            rowed = jax.lax.dot_general(
+                w_row, cur,
+                dimension_numbers=(((1,), (2,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mm_precision,            # exact-f32 taps (see above)
+            )                                      # (TH, 4, DC, CS)
+            rowed = jnp.transpose(rowed, (1, 2, 0, 3))  # (4, DC, TH, CS)
         M = margin
         # the static source-lane windows every phase lerp draws from
         sA = rowed[..., M - 1 : M - 1 + TWQ]
