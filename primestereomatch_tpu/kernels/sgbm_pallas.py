@@ -128,6 +128,7 @@ def _sgbm_scan_kernel(
         for j, i in enumerate(lanes):
             lane_group[i] = (lanes, oi, rev, j)
 
+    squeezed_in = R == 1 and c_refs and c_refs[0].ndim == 2
     for ri in range(R):
         accs = [None] * len(groups)
         for si, sh in enumerate(shifts):
@@ -151,7 +152,13 @@ def _sgbm_scan_kernel(
             )
             # reversed lanes consume their block's rows back-to-front
             row = R - 1 - ri if lane_rev[si] else ri
-            c = c_refs[lane_op[si]][row].astype(jnp.int32)
+            if squeezed_in:
+                # (Dp, None, Np) squeezed blocks: the operand is the
+                # (Dp, T, Np) cost consumed DIRECTLY (one row per step,
+                # R == 1) — no (T, Dp, Np) transpose copy ever existed
+                c = c_refs[lane_op[si]][...].astype(jnp.int32)
+            else:
+                c = c_refs[lane_op[si]][row].astype(jnp.int32)
             L = c + best - minLp
             L_ref[si] = L.astype(math_dtype)
             lanes, oi, rev, j = lane_group[si]
@@ -197,6 +204,10 @@ def sgbm_scan_pallas(
     group_adds: tuple | None = None,  # per group: tensor summed into the
                                # output (natural orientation, rows >= T),
                                # or None — single-orientation launches only
+    in_layout: str = "tdn",    # "tdn" (T, Dp, Np) | "dtn" (Dp, T, Np):
+                               # the cost consumed DIRECTLY in its
+                               # (D, H, W) producer layout via squeezed
+                               # (Dp, None, Np) blocks — forces R = 1
     interpret: bool = False,
 ):
     """Run all lanes over the T axis in one launch (or two when VMEM
@@ -206,7 +217,10 @@ def sgbm_scan_pallas(
     output; groups marked reversed are written back in natural
     orientation (their index map reverses too). Returns a tuple of
     group outputs ordered as `groups`."""
-    T, Dp, Np = cost_tdn.shape
+    if in_layout == "dtn":
+        Dp, T, Np = cost_tdn.shape
+    else:
+        T, Dp, Np = cost_tdn.shape
     in_size = cost_tdn.dtype.itemsize
     out_size = jnp.dtype(out_dtype).itemsize
     carry_size = jnp.dtype(math_dtype).itemsize
@@ -229,6 +243,8 @@ def sgbm_scan_pallas(
     n_in = len(used_dirs)
     op_ix = {d_: i for i, d_ in enumerate(used_dirs)}
     R = best_r(n_in, len(groups), len(shifts))
+    if in_layout == "dtn" and R is not None:
+        R = 1                     # squeezed blocks carry one row per step
     if R is None and n_in == 2:
         if n_adds:
             raise ValueError("group_adds launches cannot split fwd/bwd")
@@ -255,7 +271,8 @@ def sgbm_scan_pallas(
                 tuple(lane_dir[i] for i in l_sel),
                 tuple(sub_groups), n_valid,
                 out_dtype=out_dtype, math_dtype=math_dtype,
-                acc_dtype=acc_dtype, interpret=interpret,
+                acc_dtype=acc_dtype, in_layout=in_layout,
+                interpret=interpret,
             )
             for gi, o in zip(pos, sub):
                 outs[gi] = o
@@ -266,7 +283,10 @@ def sgbm_scan_pallas(
     # --- zero-pad T to a multiple of R (see module docstring) -------------
     Tp = _round_up(T, R)
     if Tp != T:
-        cost_tdn = jnp.pad(cost_tdn, ((0, Tp - T), (0, 0), (0, 0)))
+        pad = ((0, 0), (0, Tp - T), (0, 0)) if in_layout == "dtn" else (
+            (0, Tp - T), (0, 0), (0, 0)
+        )
+        cost_tdn = jnp.pad(cost_tdn, pad)
     Tb = Tp // R
 
     lane_op = tuple(op_ix[d_] for d_ in lane_dir)
@@ -274,7 +294,18 @@ def sgbm_scan_pallas(
     in_specs = []
     operands = []
     for d_ in used_dirs:
-        if d_:
+        if in_layout == "dtn":
+            # squeezed (Dp, None, Np) blocks read the (Dp, T, Np)-layout
+            # cost in place (strided row DMA) — valid because R == 1
+            if d_:
+                in_specs.append(pl.BlockSpec(
+                    (Dp, None, Np), lambda t, Tb=Tb: (0, Tb - 1 - t, 0)
+                ))
+            else:
+                in_specs.append(pl.BlockSpec(
+                    (Dp, None, Np), lambda t: (0, t, 0)
+                ))
+        elif d_:
             in_specs.append(
                 pl.BlockSpec((R, Dp, Np), lambda t, Tb=Tb: (Tb - 1 - t, 0, 0))
             )
@@ -724,26 +755,52 @@ def sgbm_aggregate_partials_pallas(
     # contract; the pad fuses into the transpose. in_layout='hdw' (the
     # bt_block_cost_pallas out_layout='hdw' handoff) needs NO transpose
     # at all here.
+    y_layout = "tdn"
     if in_layout == "dhw":
-        cy = jnp.transpose(cost, (1, 0, 2))
+        # when the launch would run R = 1 anyway (2K-class shapes — the
+        # VMEM plan caps rows-per-step), consume the (D, Hp, Wp) cost
+        # DIRECTLY via squeezed blocks: the (Hp, D, Wp) transpose copy
+        # (~4.7 ms / 1.5 GB r+w at 2K) never exists
+        n_in_y = 2 if num_directions == 8 else 1
+        n_out_y = 2 if num_directions == 8 else 1
+        n_lanes_y = {3: 1, 5: 3, 8: 6}[num_directions]
+        Np_y = _round_up(cost.shape[2], 128)
+        r2_fits = _plan_bytes(
+            2, D, Np_y, n_in_y, n_out_y, cost.dtype.itemsize,
+            jnp.dtype(out_dt).itemsize, n_lanes_y,
+            jnp.dtype(math_dt).itemsize,
+        ) <= _VMEM_BUDGET
+        if not r2_fits:
+            y_layout = "dtn"
+            cy = jnp.pad(
+                cost,
+                (
+                    (0, 0),
+                    (0, _round_up(cost.shape[1], 8) - cost.shape[1]),
+                    (0, Np_y - cost.shape[2]),
+                ),
+            )
+        else:
+            cy = jnp.transpose(cost, (1, 0, 2))
     elif in_layout == "hdw":
         cy = cost
     else:
         cy = jnp.transpose(cost, (0, 2, 1))
-    cy = jnp.pad(
-        cy,
-        (
-            (0, _round_up(cy.shape[0], 8) - cy.shape[0]),
-            (0, 0),
-            (0, _round_up(cy.shape[2], 128) - cy.shape[2]),
-        ),
-    )
+    if y_layout == "tdn":
+        cy = jnp.pad(
+            cy,
+            (
+                (0, _round_up(cy.shape[0], 8) - cy.shape[0]),
+                (0, 0),
+                (0, _round_up(cy.shape[2], 128) - cy.shape[2]),
+            ),
+        )
     if num_directions == 3:
         (Ld,) = sgbm_scan_pallas(
             cy, p1, p2, shifts=(0,), lane_dir=(False,),
             groups=(((0,), False),), n_valid=W,
             out_dtype=out_dt, math_dtype=math_dt, acc_dtype=acc_dt,
-            interpret=interpret,
+            in_layout=y_layout, interpret=interpret,
         )
         return (Px, Ld)
     elif num_directions == 5:
@@ -751,7 +808,7 @@ def sgbm_aggregate_partials_pallas(
             cy, p1, p2, shifts=(0, 1, -1), lane_dir=(False, False, False),
             groups=(((0, 1, 2), False),), n_valid=W,
             out_dtype=out_dt, math_dtype=math_dt, acc_dtype=acc_dt,
-            interpret=interpret,
+            in_layout=y_layout, interpret=interpret,
         )
         return (Px, Ld)
     else:
@@ -760,6 +817,6 @@ def sgbm_aggregate_partials_pallas(
             lane_dir=(False, False, False, True, True, True),
             groups=(((0, 1, 2), False), ((3, 4, 5), True)), n_valid=W,
             out_dtype=out_dt, math_dtype=math_dt, acc_dtype=acc_dt,
-            interpret=interpret,
+            in_layout=y_layout, interpret=interpret,
         )
         return (Px, Ld_f, Ld_b)

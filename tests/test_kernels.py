@@ -717,3 +717,27 @@ def test_sgbm_padded_cost_to_aggregate(rng):
         in_layout="hdw", out_layout="hdw", logical_hw=(H, W),
     ))
     np.testing.assert_array_equal(got_h, want)
+
+
+@pytest.mark.parametrize("nd", [3, 5, 8])
+def test_sgbm_aggregate_dhw_direct_consumption(rng, monkeypatch, nd):
+    """Under a tiny VMEM budget (2K-class planning) the y-scans consume
+    the (D, Hp, Wp) cost DIRECTLY via squeezed (Dp, None, Np) blocks
+    (in_layout='dtn', R=1) instead of a transposed copy — and the x pair
+    absorbs its fwd partial in the bwd launch. Must stay bit-exact vs the
+    XLA aggregate in every direction mode."""
+    import primestereomatch_tpu.kernels.sgbm_pallas as sp
+    from primestereomatch_tpu.ops.sgbm import aggregate
+
+    monkeypatch.setattr(sp, "_VMEM_BUDGET", 1)
+    H, W, D = 26, 44, 16
+    C = jnp.asarray(rng.integers(0, 9450, (H, W, D)).astype(np.int32))
+    want = np.transpose(
+        np.asarray(aggregate(C, 600, 2400, nd, cost_bound=9450)), (0, 2, 1)
+    )
+    Cd = jnp.transpose(C, (2, 0, 1))            # (D, H, W) producer layout
+    got = np.asarray(sp.sgbm_aggregate_pallas(
+        Cd, 600, 2400, nd, cost_bound=9450, interpret=True,
+        in_layout="dhw", out_layout="hdw", logical_hw=(H, W),
+    ))
+    np.testing.assert_array_equal(got, want)
