@@ -293,18 +293,20 @@ def sgbm_scan_pallas(
 
     in_specs = []
     operands = []
+    if in_layout == "dtn":
+        # FREE bitcast (row-major minor-dims collapse): blocks (Dp, Np)
+        # at index (0, t) then read exactly scan row t of the (Dp, T, Np)
+        # producer-layout cost — no transposed copy, and the block's last
+        # two dims are tile-divisible (a squeezed middle dim is not)
+        cost_tdn = cost_tdn.reshape(Dp, Tp * Np)
     for d_ in used_dirs:
         if in_layout == "dtn":
-            # squeezed (Dp, None, Np) blocks read the (Dp, T, Np)-layout
-            # cost in place (strided row DMA) — valid because R == 1
             if d_:
                 in_specs.append(pl.BlockSpec(
-                    (Dp, None, Np), lambda t, Tb=Tb: (0, Tb - 1 - t, 0)
+                    (Dp, Np), lambda t, Tb=Tb: (0, Tb - 1 - t)
                 ))
             else:
-                in_specs.append(pl.BlockSpec(
-                    (Dp, None, Np), lambda t: (0, t, 0)
-                ))
+                in_specs.append(pl.BlockSpec((Dp, Np), lambda t: (0, t)))
         elif d_:
             in_specs.append(
                 pl.BlockSpec((R, Dp, Np), lambda t, Tb=Tb: (Tb - 1 - t, 0, 0))

@@ -758,30 +758,34 @@ def filter_speckles(
         # TPU: component areas via sort -> segment-sum -> sort-back.
         # XLA's scatter-add and gather serialize per element on TPU
         # (~24 ms EACH for the 2.7M-px area count + areas[labels] at 2K,
-        # hint flags ignored), while lax.sort runs ~10 ms — two sorts plus
+        # hint flags ignored), while lax.sort runs ~ms — two sorts plus
         # vector scans beat one scatter + one gather by ~18 ms. Exact:
         # pixels of a component are contiguous after sorting by label, the
         # segment sum counts valid members, and the second sort (keyed by
         # the carried original index, unique keys) restores pixel order.
-        area = _component_areas_sorted(labels, valid)
+        # Sort payloads are MINIMIZED (bitonic stages move every operand):
+        # validity is derived from the sorted label itself (invalid pixels
+        # keep label == H*W) and the answer rides back as ONE bit packed
+        # into the un-sort key — 3 operand-arrays sorted instead of 5.
+        speckle = _small_component_mask(labels, max_speckle_size)
     else:
         areas = jnp.zeros(H * W + 1, jnp.int32).at[labels.reshape(-1)].add(
             valid.reshape(-1).astype(jnp.int32)
         )
-        area = areas[labels]
-    speckle = valid & (area <= max_speckle_size)
+        speckle = valid & (areas[labels] <= max_speckle_size)
     return jnp.where(speckle, jnp.int16(invalid_value), disp16)
 
 
-def _component_areas_sorted(labels: jax.Array, valid: jax.Array) -> jax.Array:
-    """Per-pixel component area (count of VALID members of the pixel's
-    label group) with no scatter/gather — see filter_speckles. Identical
-    values to `zeros(N+1).at[labels].add(valid)[labels]`."""
+def _small_component_mask(labels: jax.Array, max_size: int) -> jax.Array:
+    """valid & (component area <= max_size) with no scatter/gather — see
+    filter_speckles. Valid pixels are exactly those with label < H*W, and
+    a component's area is the count of its members (all of which are
+    valid: the invalid label H*W forms its own segment)."""
     H, W = labels.shape
     flat = labels.reshape(-1)
     lin = jnp.arange(H * W, dtype=jnp.int32)
-    vf = valid.reshape(-1).astype(jnp.int32)
-    s, pidx, vs = lax.sort((flat, lin, vf), num_keys=1)
+    s, pidx = lax.sort((flat, lin), num_keys=1)
+    vs = (s != H * W).astype(jnp.int32)
     seg = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
     csum = jnp.cumsum(vs)
     # segment total = csum at segment end - csum before segment start,
@@ -794,5 +798,8 @@ def _component_areas_sorted(labels: jax.Array, valid: jax.Array) -> jax.Array:
     at_end = jnp.where(is_end, csum, jnp.int32(1 << 30))
     at_end = lax.associative_scan(jnp.minimum, at_end[::-1])[::-1]
     area_sorted = at_end - before
-    _, area = lax.sort((pidx, area_sorted), num_keys=1)
-    return area.reshape(H, W)
+    small = (s != H * W) & (area_sorted <= max_size)
+    # un-sort ONE packed key: sorting by (pidx << 1 | small) IS sorting by
+    # the unique pidx, so the low bit lands back at its pixel
+    key2 = lax.sort((pidx << 1) | small.astype(jnp.int32))
+    return (key2 & 1).astype(bool).reshape(H, W)

@@ -219,23 +219,26 @@ def test_filter_speckles_serpentine_vs_cv2():
     assert (got != inv).sum() == 527  # the snake survived intact
 
 
-def test_component_areas_sorted_matches_scatter():
-    """The TPU sort->segment-sum->sort-back area path (no scatter/gather)
-    must equal the scatter-add formulation exactly, including invalid
-    pixels grouped in one giant zero-weight segment."""
-    from primestereomatch_tpu.ops.sgbm import _component_areas_sorted
+def test_small_component_mask_matches_scatter():
+    """The TPU sort->segment-sum->packed-bit-un-sort path (no
+    scatter/gather; validity derived from label == H*W) must equal the
+    scatter-add area formulation exactly, including invalid pixels
+    grouped in one giant segment."""
+    from primestereomatch_tpu.ops.sgbm import _small_component_mask
 
     rng = np.random.default_rng(5)
-    for H, W, nlab in ((24, 40, 6), (37, 129, 500), (16, 256, 1)):
+    for H, W, nlab, mx in ((24, 40, 6, 100), (37, 129, 500, 9),
+                           (16, 256, 1, 3000)):
         labels = jnp.asarray(rng.integers(0, nlab, (H, W)).astype(np.int32))
         valid = jnp.asarray(rng.random((H, W)) > 0.3)
         labels = jnp.where(valid, labels, H * W)
-        ref = np.asarray(
+        areas = np.asarray(
             jnp.zeros(H * W + 1, jnp.int32)
             .at[labels.reshape(-1)]
             .add(valid.reshape(-1).astype(jnp.int32))[labels]
         )
-        got = np.asarray(_component_areas_sorted(labels, valid))
+        ref = np.asarray(valid) & (areas <= mx)
+        got = np.asarray(_small_component_mask(labels, mx))
         np.testing.assert_array_equal(got, ref)
 
 
