@@ -141,10 +141,10 @@ def gif_kernel_vops(H, W, D, s=4, wmf_radius=9, n_bins=None):
     if pp is not None:
         # _wta_kernel_poly per (d, output px):
         #   masked tap mode: 4 guide combines (3 mul + 3 add each) = 24,
-        #   4 tap selects, lerp (2 mul + 1 add) = 3, d==0 inf mask 2,
-        #   chunk min + argmin passes ~3  -> ~36
-        #   exact-static mode: 2 combines = 12, no selects -> ~20
-        per_d = 36.0 if not pp["exact"] else 36.0  # batched launch => masked
+        #   4 tap selects, lerp (2 mul + 1 add) = 3, chunk min + argmin
+        #   passes ~3  -> ~34 (d0 poison: no per-chunk inf mask)
+        #   exact-static mode: 2 combines = 12, no selects -> ~18
+        per_d = 18.0 if pp["exact"] else 34.0
         out["wta poly (2 views)"] = 2 * H * W * D * per_d
     # _wmf_kernel per px: pass 1 per window offset: 3 sub + 3 mul + 2 add
     # (color dist) + exp ~8 + mul-valid + acc = 18; pass 2 per probe per
