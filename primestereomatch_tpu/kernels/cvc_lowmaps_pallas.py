@@ -128,17 +128,23 @@ def _cvc_lowmaps_kernel(
 
 
 def _plan_th(s: int, M: int, WI: int, WB: int, WT: int,
-             budget: int = 12 << 20) -> int | None:
-    """Largest output-rows-per-tile whose VMEM footprint fits: the
-    double-buffered planes/stats/view/out blocks plus the cost scratch and
-    ~10 chain intermediates (same model as the unfused planner)."""
+             budget: int = 14 << 20) -> int | None:
+    """Largest output-rows-per-tile whose VMEM footprint fits. Model
+    calibrated against Mosaic's actual stack: the planes block is
+    double-buffered (its index advances with the row tile), stats/view
+    count once (same index map — Mosaic shares the window), and ~9
+    DC-sized chain intermediates are live at the peak of _maps_chain.
+    The old 11-intermediate all-double-buffered model pushed 2K/d=256 to
+    TH=16; the TH=32 launch it rejected compiles fine and measures
+    14.10 -> 12.56 ms/view (bitwise equal)."""
     lane = lambda x: _round_up(x, 128)  # noqa: E731
     for th in (32, 16, 8):
         ti = th + 2 * M
         use = 4 * (
-            2 * (4 * s * ti * lane(WB) + 12 * ti * lane(WI) + 5 * ti * lane(WI))
+            2 * (4 * s * ti * lane(WB))
+            + (12 + 5) * ti * lane(WI)
             + 2 * 4 * s * th * lane(WT)
-            + 11 * s * ti * lane(WI)
+            + 9 * s * ti * lane(WI)
         )
         if use <= budget:
             return th

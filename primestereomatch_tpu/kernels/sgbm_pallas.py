@@ -59,7 +59,11 @@ _BIG = np.int32(1 << 28)
 _VMEM_BUDGET = 12 * 1024 * 1024
 # test/tuning hook: force the rows-per-step choice (None = auto by budget)
 _FORCE_R = None
-# bt cost kernel tile shape (tuning hooks; see bt_block_cost_pallas)
+# bt cost kernel tile shape (tuning hooks; see bt_block_cost_pallas).
+# v5e 2K/d=256 sweep: (TH=16, DC=32) 33.5 ms wall, (32, 32) 34.0,
+# (32, 16) 34.2 — the halo-recompute saving of taller tiles loses to
+# their VMEM pressure; the kernel's cost is the per-d roll + BT math +
+# window sums, not grid-step overhead
 _BT_TH = 16
 _BT_DC = 32
 
