@@ -128,15 +128,17 @@ def _cvc_lowmaps_kernel(
 
 
 def _plan_th(s: int, M: int, WI: int, WB: int, WT: int,
-             budget: int = 14 << 20) -> int | None:
-    """Largest output-rows-per-tile whose VMEM footprint fits. Model
-    calibrated against Mosaic's actual stack: the planes block is
-    double-buffered (its index advances with the row tile), stats/view
-    count once (same index map — Mosaic shares the window), and ~9
-    DC-sized chain intermediates are live at the peak of _maps_chain.
-    The old 11-intermediate all-double-buffered model pushed 2K/d=256 to
-    TH=16; the TH=32 launch it rejected compiles fine and measures
-    14.10 -> 12.56 ms/view (bitwise equal)."""
+             budget: int = 12 << 20) -> int | None:
+    """Largest output-rows-per-tile whose VMEM footprint fits. Model:
+    double-buffered planes block, stats/view counted once, ~9 DC-sized
+    chain intermediates live at the peak of _maps_chain. CAUTION on the
+    budget: the ISOLATED 2K TH=32 kernel compiles (12.56 vs 14.10
+    ms/view, bitwise equal) but the SAME kernel inside the full
+    stereo_gif_forward program OOMs Mosaic's scoped stack at 19.19M —
+    the stack depends on the operands' producer layouts, so the planner
+    must stay conservative (2K keeps TH=16; HD720-class fits TH=32).
+    Re-attempt only with a per-call tile_h override plus an in-pipeline
+    compile check."""
     lane = lambda x: _round_up(x, 128)  # noqa: E731
     for th in (32, 16, 8):
         ti = th + 2 * M

@@ -220,11 +220,35 @@ def fgf_low_maps_pallas_batched(
     frame b's maps live at rows [b*HP, (b+1)*HP), the exact layout
     fgf_wta_pallas_maps_batched consumes (row starts carry the b*HP
     offset). Replaces the lax.map-over-frames dispatch whose per-frame
-    kernel launches dominate small-image batch throughput (CLAUDE.md)."""
-    return _fgf_low_maps_pallas_impl(
-        guide, p_low, radius, eps, subsample, out_wp, out_margin, poison_d0,
-        interpret
-    )
+    kernel launches dominate small-image batch throughput (CLAUDE.md).
+
+    vmap-able: the batching rule folds the vmap axis into the existing
+    frame fold (one launch for Bv*B frames)."""
+
+    @jax.custom_batching.custom_vmap
+    def run(g, p):
+        return _fgf_low_maps_pallas_impl(
+            g, p, radius, eps, subsample, out_wp, out_margin, poison_d0,
+            interpret
+        )
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, g, p):  # noqa: ANN001
+        def bcast(x, batched):
+            return x if batched else jnp.broadcast_to(x, (axis_size, *x.shape))
+
+        g, p = (bcast(x, bb) for x, bb in zip((g, p), in_batched))
+        Bv = axis_size
+        out = _fgf_low_maps_pallas_impl(
+            g.reshape(Bv * g.shape[1], *g.shape[2:]),
+            p.reshape(Bv * p.shape[1], *p.shape[2:]),
+            radius, eps, subsample, out_wp, out_margin, poison_d0, interpret,
+        )
+        n4, D, BHP, WT = out.shape
+        out = out.reshape(n4, D, Bv, BHP // Bv, WT)
+        return jnp.moveaxis(out, 2, 0), True
+
+    return run(guide, p_low)
 
 
 def _fgf_low_maps_pallas_impl(

@@ -545,6 +545,41 @@ def fgf_wta_pallas_maps_batched(
     maps_layout: str = "auto",  # "poly" | "plain" | "auto" (width inference)
     interpret: bool = False,
 ) -> jax.Array:
+    """Batch-folded WTA — see _fgf_wta_pallas_maps_batched_impl for the
+    mechanics. vmap-able: the batching rule folds the vmap axis into the
+    existing frame fold (one launch for Bv*B frames)."""
+
+    @jax.custom_batching.custom_vmap
+    def run(g, m):
+        return _fgf_wta_pallas_maps_batched_impl(
+            g, m, logical_hw, out_hw, d_chunk, poly, tile_h, poly_twq,
+            mask_d0, maps_layout, interpret,
+        )
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, g, m):  # noqa: ANN001
+        def bcast(x, batched):
+            return x if batched else jnp.broadcast_to(x, (axis_size, *x.shape))
+
+        g = bcast(g, in_batched[0])
+        m = bcast(m, in_batched[1])
+        Bv, B = g.shape[0], g.shape[1]
+        gf = g.reshape(Bv * B, *g.shape[2:])
+        n4, D = m.shape[1], m.shape[2]
+        mf = jnp.moveaxis(m, 0, 2).reshape(n4, D, -1, m.shape[-1])
+        out = _fgf_wta_pallas_maps_batched_impl(
+            gf, mf, logical_hw, out_hw, d_chunk, poly, tile_h, poly_twq,
+            mask_d0, maps_layout, interpret,
+        )
+        return out.reshape(Bv, B, *out.shape[1:]), True
+
+    return run(guide, maps)
+
+
+def _fgf_wta_pallas_maps_batched_impl(
+    guide, maps, logical_hw, out_hw, d_chunk, poly, tile_h, poly_twq,
+    mask_d0, maps_layout, interpret,
+):
     """Batch-folded WTA: ONE pallas_call for the whole batch. Frame b's
     row tiles are grid rows b*nty..(b+1)*nty-1 and its slab row starts
     carry the b*HPf offset, so the kernel and block specs are identical to

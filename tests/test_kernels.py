@@ -410,6 +410,42 @@ def test_cvc_lowmaps_vmap(rng):
         np.testing.assert_allclose(out[i], ref, atol=5e-5, rtol=1e-3)
 
 
+def test_batched_entries_vmap(rng):
+    """jax.vmap of the BATCHED fold entries folds the vmap axis into the
+    existing frame fold (what jax.vmap(stereo_gif_forward) hits at quasi
+    ratios where the pipeline itself uses the 2-view fold)."""
+    import jax
+
+    from primestereomatch_tpu.kernels.lowmaps_pallas import (
+        fgf_low_maps_pallas_batched,
+    )
+    from primestereomatch_tpu.kernels.wta_pallas import (
+        fgf_wta_pallas_maps_batched,
+        poly_col_params,
+    )
+
+    Bv, B, H, W, D, s = 2, 2, 128, 96, 8, 2
+    h, w = H // s, W // s
+    pp = poly_col_params(w, W)
+    kw = dict(out_wp=pp["out_wp"], out_margin=pp["margin"], interpret=True)
+    g = jnp.asarray(rng.random((Bv, B, H, W, 3)).astype(np.float32))
+    p = jnp.asarray(rng.random((Bv, B, D, h, w)).astype(np.float32))
+
+    fn_low = lambda gg, pq: fgf_low_maps_pallas_batched(  # noqa: E731
+        gg, pq, 8, 1e-4, s, **kw
+    )
+    maps_v = jax.vmap(fn_low)(g, p)
+    fn_wta = lambda gg, mm: fgf_wta_pallas_maps_batched(  # noqa: E731
+        gg, mm, (h, w), (H, W), d_chunk=4, poly=True, interpret=True
+    )
+    out_v = np.asarray(jax.vmap(fn_wta)(g, maps_v))
+    for i in range(Bv):
+        maps_i = fn_low(g[i], p[i])
+        np.testing.assert_array_equal(np.asarray(maps_v[i]), np.asarray(maps_i))
+        out_i = np.asarray(fn_wta(g[i], maps_i))
+        np.testing.assert_array_equal(out_v[i], out_i)
+
+
 def test_lowmaps_pallas_vmap(rng):
     from primestereomatch_tpu.kernels.lowmaps_pallas import fgf_low_maps_pallas
     import jax
