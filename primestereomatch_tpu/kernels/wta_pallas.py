@@ -698,17 +698,20 @@ def _poly_plan_dc(D: int, dc_req: int, RS: int, CS: int, TH: int,
                   TWQ: int, P: int, budget: int = 12 << 20) -> int:
     """Largest disparity chunk (divisor of D, <= dc_req) whose VMEM
     footprint fits the budget. The dominant live buffers per chunk step:
-    double-buffered slab (2,4,DC,RS,CS) f32, the row-interp result and its
-    transpose (2 x TH*4*DC*CS) f32, and the per-phase lerp temporaries
-    (~5 x DC*TH*TWQ) f32; ~1.5 MB of fixed blocks (guide/tables/out/acc).
-    Without this cap the HD720/2K shapes exceed the ~16 MB/core VMEM and
-    the TPU compile fails with a stack-allocation OOM."""
+    double-buffered slab (2,4,DC,RS,CS) f32, ONE row-interp result
+    (TH*4*DC*CS f32 — the batched matmul emits the target layout
+    directly, no transpose copy since _ROWMM_BATCHED), and the per-phase
+    lerp temporaries (~5 x DC*TH*TWQ) f32; ~1.5 MB of fixed blocks
+    (guide/tables/out/acc). Without this cap the HD720/2K shapes exceed
+    the ~16 MB/core VMEM and the TPU compile fails with a
+    stack-allocation OOM."""
+    rowed_bufs = 1 if _ROWMM_BATCHED else 2
     fixed = (3 * P * TH * TWQ + TH * 128 + 8 * TWQ          # guide/ryw/wx
              + 3 * P * TH * TWQ) * 4 + (P * TH * TWQ) * 4   # best/arg/out
     for dc in range(min(dc_req, D), 0, -1):
         if D % dc:
             continue
-        use = (2 * 4 * dc * RS * CS + 2 * TH * 4 * dc * CS
+        use = (2 * 4 * dc * RS * CS + rowed_bufs * TH * 4 * dc * CS
                + 5 * dc * TH * TWQ) * 4 + fixed
         if use <= budget:
             return dc

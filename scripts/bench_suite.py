@@ -98,7 +98,7 @@ def main():
         r2k = jnp.asarray(tiled(teddy.right_f32, (1242, 2208)))
         cfg256 = GIFConfig(max_dis=256)
         f2k = jax.jit(lambda a, b: stereo_gif_forward(a, b, cfg256))
-        record("gif_2k_2208x1242_d256", bench(f2k, (l2k, r2k), iters=8))
+        record("gif_2k_2208x1242_d256", bench(f2k, (l2k, r2k), iters=12))
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"config": "gif_2k_2208x1242_d256", "error": str(e)[:200]}))
 
@@ -127,8 +127,8 @@ def main():
     # 6. SGBM at HD720/d=128 and 2K/d=256 (BASELINE size axes for the
     #    second algorithm; Teddy-only SGBM hid the large-size behavior)
     for name, hw, nd, it in (
-        ("sgbm_hd720_1280x720_d128", (720, 1280), 128, 5),
-        ("sgbm_2k_2208x1242_d256", (1242, 2208), 256, 3),
+        ("sgbm_hd720_1280x720_d128", (720, 1280), 128, 12),
+        ("sgbm_2k_2208x1242_d256", (1242, 2208), 256, 8),
     ):
         try:
             lu8 = jnp.asarray(tiled(teddy.left_bgr, hw))
@@ -149,8 +149,8 @@ def main():
         # batch-only mesh accepts any H/W: full frames, directly
         # comparable to the unsharded rows above
         for name, (lx, rx), c, it in (
-            ("gif_teddy_sharded_mesh111", (l64, r64), cfg, 10),
-            ("gif_2k_sharded_mesh111", (l2k, r2k), cfg256, 3),
+            ("gif_teddy_sharded_mesh111", (l64, r64), cfg, 20),
+            ("gif_2k_sharded_mesh111", (l2k, r2k), cfg256, 8),
         ):
             step = make_sharded_gif(mesh, c)
             record(name, bench(step, (lx[None], rx[None]), iters=it))
