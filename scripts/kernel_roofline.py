@@ -164,19 +164,23 @@ def gif_kernel_vops(H, W, D, s=4, wmf_radius=9, n_bins=None):
 
 
 def sgbm_kernel_vops(H, W, D):
-    """Modeled VPU op counts per frame for the SGBM Pallas kernels
-    (coarse: counted from kernels/sgbm_pallas.py / select_pallas.py)."""
+    """Modeled VPU op counts per frame for the SGBM Pallas kernels,
+    counted from the kernel sources (rolls/relayouts counted as one op
+    per element moved)."""
     out = {}
-    # bt cost per (d, px): 3 channels x (min/max prep amortized) ~ |l-r|
-    # BT terms: per channel 2 sub + 2 min + 1 max + ... ~ 12, + block sum
-    # folds ~ 4 (running-sum reuse)
-    out["bt block cost"] = float(H) * W * D * 16
-    # aggregation: per (d, px, scan) ~ shifted-min tournament over 4
-    # candidates + P1/P2 adds + normalize: ~10 ops, 4 scan groups
-    out["aggregation scans"] = float(H) * W * D * 4 * 10
-    # select: per (d, px): 3 partial adds + packed-key min fold ~ 4 +
-    # far-min top-4 track ~ 6
-    out["select (partials)"] = float(H) * W * D * 13
+    # _bt_cost_kernel per (d, px): the 9-plane lane roll (9), BT math
+    # c1/c2/m3/pc over 3 channels (3 x (4 max/min + 2 sub) + 2 adds =
+    # 20), edge patches (2), vertical 5-tap sum (4), horizontal sum
+    # (2 rolls + 2 selects + 4 adds = 8), store cast (1) ~ 44
+    out["bt block cost"] = float(H) * W * D * 44
+    # _sgbm_scan_kernel per (d, px, lane): min-reduce share (~1), d+-1
+    # sublane rolls + masks (6), 3-way min chain + p-adds (5), L update
+    # + casts (4), group-sum add (1) ~ 17; 8 directions = 8 lane-passes
+    out["aggregation scans"] = float(H) * W * D * 8 * 17
+    # _select_kernel_1p per (d, px): partial adds (2), key pack (2),
+    # walk roll+where+min (3), s_m/s_p/pend selects (3), best cmp+min
+    # (2), top-4 insertion network (8) ~ 20
+    out["select (partials)"] = float(H) * W * D * 20
     return out
 
 
