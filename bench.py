@@ -44,6 +44,27 @@ def main() -> None:
     import numpy as np
 
     step = jax.jit(lambda a, b: stereo_gif_forward(a, b, cfg))
+    # the axon relay's compile helper intermittently crashes (HTTP 500)
+    # on the FIRST large compile of a fresh process and recovers on
+    # retry — observed repeatedly on 2026-08-20; without this loop one
+    # transient 500 kills the whole driver benchmark
+    last_err = None
+    for attempt in range(4):
+        try:
+            jax.block_until_ready(step(l_img, r_img))
+            break
+        except Exception as e:  # noqa: BLE001
+            last_err = e
+            if "remote_compile" not in str(e) and "INTERNAL" not in str(e):
+                raise
+            import sys
+
+            print(f"# compile attempt {attempt + 1} failed "
+                  f"({str(e)[:80]!r}); retrying", file=sys.stderr, flush=True)
+            time.sleep(30 * (attempt + 1))
+    else:
+        raise last_err
+
     # warm up with full enqueue-then-fetch batches: the first dispatches
     # after compile pay relay/cold-start costs that are not steady-state
     for _ in range(WARMUP):
