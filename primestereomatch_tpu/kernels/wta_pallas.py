@@ -705,13 +705,17 @@ def _poly_plan_dc(D: int, dc_req: int, RS: int, CS: int, TH: int,
     (guide/tables/out/acc). Without this cap the HD720/2K shapes exceed
     the ~16 MB/core VMEM and the TPU compile fails with a
     stack-allocation OOM."""
-    rowed_bufs = 1 if _ROWMM_BATCHED else 2
+    # NOTE: the batched row-matmul removed the transpose copy, but the
+    # 2x rowed-buffer term STAYS: relaxing it to 1x bumped Teddy's chunk
+    # to DC=8 and that kernel reproducibly crashed the relay's compile
+    # helper (HTTP 500 on every attempt) — the conservative term is
+    # load-bearing headroom for Mosaic's actual stack, not just the copy
     fixed = (3 * P * TH * TWQ + TH * 128 + 8 * TWQ          # guide/ryw/wx
              + 3 * P * TH * TWQ) * 4 + (P * TH * TWQ) * 4   # best/arg/out
     for dc in range(min(dc_req, D), 0, -1):
         if D % dc:
             continue
-        use = (2 * 4 * dc * RS * CS + rowed_bufs * TH * 4 * dc * CS
+        use = (2 * 4 * dc * RS * CS + 2 * TH * 4 * dc * CS
                + 5 * dc * TH * TWQ) * 4 + fixed
         if use <= budget:
             return dc
