@@ -37,7 +37,7 @@ MODES = {
 
 def main() -> None:
     arrays = {}
-    for name in ("Teddy", "Cones"):
+    for name in ("Teddy", "Cones", "Art", "Dolls"):
         ds = load_dataset(name)
         l_bgr = np.asarray(ds.left_bgr)
         r_bgr = np.asarray(ds.right_bgr)

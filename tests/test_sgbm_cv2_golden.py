@@ -51,7 +51,21 @@ def cv2_goldens():
     return np.load(GOLDEN)
 
 
-@pytest.mark.parametrize("name", ["Teddy", "Cones"])
+# per-set pins (measured + slack): the 2005 sets (Art/Dolls) carry more
+# texture-poor area where the uniqueness/validity decisions diverge, so
+# their bounds are looser; measured at pin time (within-1d on
+# jointly-valid x>=64 / interior validity mismatch, worst mode):
+#   Teddy 0.9663/0.064  Cones 0.9836/0.044
+#   Art   0.9440/0.146  Dolls 0.9777/0.088
+BOUNDS = {
+    "Teddy": (0.96, 0.07),
+    "Cones": (0.96, 0.07),
+    "Art": (0.93, 0.16),
+    "Dolls": (0.96, 0.10),
+}
+
+
+@pytest.mark.parametrize("name", ["Teddy", "Cones", "Art", "Dolls"])
 @pytest.mark.parametrize("mode", ["hh", "sgbm", "3way"])
 def test_sgbm_matches_cv2(cv2_goldens, name, mode):
     ds = load_dataset(name)
@@ -68,15 +82,19 @@ def test_sgbm_matches_cv2(cv2_goldens, name, mode):
     assert both.mean() > 0.5
     diff = np.abs(interior_o.astype(np.int32) - interior_r.astype(np.int32))
     within_1d = float((diff[both] <= 16).mean())
-    assert within_1d >= 0.96, f"within-1-disparity agreement {within_1d:.4f}"
+    w1_min, vm_max = BOUNDS[name]
+    assert within_1d >= w1_min, f"within-1-disparity agreement {within_1d:.4f}"
 
     validity_mm = float(((interior_o >= 0) != (interior_r >= 0)).mean())
-    assert validity_mm <= 0.07, f"interior validity mismatch {validity_mm:.4f}"
+    assert validity_mm <= vm_max, f"interior validity mismatch {validity_mm:.4f}"
 
     # left band: structurally different (OpenCV minX invalidation vs
     # edge-replicate cost) — pin that it stays band-local, not silent
     band_mm = float(((ours[:, :ND] >= 0) != (ref[:, :ND] >= 0)).mean())
-    assert 0.3 <= band_mm <= 0.6, f"left-band validity mismatch {band_mm:.3f}"
+    assert 0.2 <= band_mm <= 0.6, f"left-band validity mismatch {band_mm:.3f}"
+
+    if ds.mask_nonocc is None:
+        return  # 2005 sets: no nonocc mask; %BP pinned on Teddy/Cones
 
     def bp(d16):
         u8 = np.clip(np.maximum(d16.astype(np.int32), 0) // 16, 0, ND - 1)
