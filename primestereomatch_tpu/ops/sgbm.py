@@ -604,7 +604,7 @@ def filter_speckles(
     max_diff: int,             # on the SAME scale as disp16 (16 * range)
     invalid_value: int,
     max_iters: int | None = None,
-    steps_per_check: int = 4,
+    steps_per_check: int = 2,
     impl: str = "auto",        # auto | xla | pallas (sweep implementation)
 ) -> jax.Array:
     """Invalidate small connected components of similar disparity
@@ -629,11 +629,15 @@ def filter_speckles(
     default) means run to convergence.
 
     steps_per_check: propagation sweeps per `while_loop` iteration. Each
-    while-loop predicate is a device->host sync (on the axon relay that
-    round-trip is ~1 ms, which DOMINATED the speckle stage at ~9 ms of a
-    12 ms SGBM frame); batching sweeps cuts the sync count to
-    ceil(rounds / steps_per_check) while the extra converged sweeps are
-    idempotent vector math (~us). Results are identical for any value.
+    while-loop predicate is a device->host sync; batching sweeps cuts the
+    sync count to ceil(rounds / steps_per_check) while the extra
+    converged sweeps are idempotent vector math. Results are identical
+    for any value. v5e sweep on real pipeline disparities (best-of-3
+    wall): 2K 29.1 / 30.5 / 33.1 / 39.6 ms at spc 2/4/8/16, Teddy
+    2.42 / 2.47 / 2.53 at 2/4/8 — natural-content labels converge in few
+    sweeps, so extra batched sweeps now cost more than the syncs they
+    save (the opposite held in an earlier relay generation; default
+    moved 4 -> 2 accordingly).
 
     impl: 'pallas' runs each sweep's four segmented scans as two Pallas
     launches with the whole scan axis VMEM-resident
