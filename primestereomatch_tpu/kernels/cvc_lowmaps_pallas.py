@@ -262,6 +262,11 @@ def _cvc_fgf_low_maps_impl(
         # the poly WTA layout may be NARROWER than the 128-rounded width
         # (tight single-tile margins, see wta_pallas.poly_col_params) —
         # honour it exactly so the consumer never re-pads the maps
+        if out_wp % 128:
+            raise ValueError(
+                f"out_wp {out_wp} must be lane-aligned (multiple of 128); "
+                "a misaligned maps layout breaks the WTA slab windows"
+            )
         WP = max(w, out_wp)
     WI = WP + 2 * M
     # lane-aligned so the in-kernel dynamic rotate has an aligned shape

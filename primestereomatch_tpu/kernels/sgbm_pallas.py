@@ -195,6 +195,23 @@ def _plan_bytes(R, Dp, Np, n_in, n_out, in_size, out_size, n_lanes, carry_size):
     return blocks + n_lanes * Dp * Np * carry_size + temps
 
 
+def _best_plan_r(Dp, Np, n_in, n_out, n_lanes, in_size, out_size, carry_size,
+                 n_adds=0):
+    """Largest rows-per-step R whose VMEM plan fits the budget, or None
+    when even R=1 overflows (the launch must then split fwd/bwd).
+    Shared by sgbm_scan_pallas's launch plan and by
+    sgbm_aggregate_partials_pallas's merged-launch probe so the two sites
+    can never diverge (a divergence would make the guarded
+    "group_adds launches cannot split fwd/bwd" error reachable)."""
+    if _FORCE_R is not None:
+        return _FORCE_R
+    for r in (8, 4, 2, 1):
+        if _plan_bytes(r, Dp, Np, n_in + n_adds, n_out, in_size,
+                       out_size, n_lanes, carry_size) <= _VMEM_BUDGET:
+            return r
+    return None
+
+
 def sgbm_scan_pallas(
     cost_tdn: jax.Array,       # (T, Dp, Np) int16/int32 cost, padded
     p1: int, p2: int,
@@ -233,13 +250,8 @@ def sgbm_scan_pallas(
 
     # --- launch plan: largest R fitting the budget; split fwd/bwd if not -
     def best_r(n_in, n_out, n_lanes):
-        if _FORCE_R is not None:
-            return _FORCE_R
-        for r in (8, 4, 2, 1):
-            if _plan_bytes(r, Dp, Np, n_in + n_adds, n_out, in_size,
-                           out_size, n_lanes, carry_size) <= _VMEM_BUDGET:
-                return r
-        return None
+        return _best_plan_r(Dp, Np, n_in, n_out, n_lanes, in_size,
+                            out_size, carry_size, n_adds=n_adds)
 
     # one operand per scan orientation actually used (a split bwd-only
     # launch must not stream a dead forward copy of the cost)
@@ -720,12 +732,10 @@ def sgbm_aggregate_partials_pallas(
         else jnp.int32
     )
     Tx = cx.shape[0]                        # trim only the scans' R padding
-    merged_fits = _FORCE_R is not None or any(
-        _plan_bytes(r, cx.shape[1], cx.shape[2], 2, 2, cx.dtype.itemsize,
-                    jnp.dtype(out_dt).itemsize, 2,
-                    jnp.dtype(math_dt).itemsize) <= _VMEM_BUDGET
-        for r in (8, 4, 2, 1)
-    )
+    merged_fits = _best_plan_r(
+        cx.shape[1], cx.shape[2], 2, 2, 2, cx.dtype.itemsize,
+        jnp.dtype(out_dt).itemsize, jnp.dtype(math_dt).itemsize,
+    ) is not None
     if merged_fits:
         Lx_f, Lx_b = sgbm_scan_pallas(
             cx, p1, p2, shifts=(0, 0), lane_dir=(False, True),

@@ -322,7 +322,7 @@ def joint_wmf_pallas(
     n_bins: int = 64,
     sigma: float = 25.5,
     valid: jax.Array | None = None,  # (H, W) float32 participation weights
-    tile_h: int | None = None,       # rows per tile (None = default 16)
+    tile_h: int | None = None,       # rows per tile (None = default TILE_H, 32)
     interpret: bool = False,
 ) -> jax.Array:
     """Drop-in accelerated joint_wmf (mode 'exact'). Returns (H, W) uint8.

@@ -6,9 +6,9 @@ src/StereoMatch.cpp:639-660). The rebuild validates against its own
 NumPy oracle (tests/oracle_sgbm.py), which documents two deliberate
 deltas from OpenCV (replicate-border window sums; gather-based right
 disparity). This script quantifies them: it runs cv2.StereoSGBM with the
-reference parameters on Teddy + Cones in all three modes and writes the
-raw int16 disparity maps to tests/golden/sgbm_cv2.npz, which
-tests/test_sgbm_cv2_golden.py pins against stereo_sgbm_forward.
+reference parameters on Teddy, Cones, Art and Dolls in all three modes
+and writes the raw int16 disparity maps to tests/golden/sgbm_cv2.npz,
+which tests/test_sgbm_cv2_golden.py pins against stereo_sgbm_forward.
 
 Run from the repo root: python scripts/dump_sgbm_cv2.py
 """

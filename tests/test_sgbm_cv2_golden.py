@@ -4,7 +4,7 @@ The reference's STEREO_SGBM component is OpenCV's implementation
 (src/StereoMatch.cpp:180, parameters :639-660). These tests pin
 `stereo_sgbm_forward` against raw cv2.StereoSGBM int16 outputs minted by
 scripts/dump_sgbm_cv2.py (tests/golden/sgbm_cv2.npz, cv2 5.0.0) for
-Teddy + Cones in all three modes, quantifying the deltas the oracle's
+Teddy, Cones, Art and Dolls in all three modes, quantifying the deltas the oracle's
 header documents in words (tests/oracle_sgbm.py:5-8):
 
   * replicate-border window sums + gather-based right disparity: the
