@@ -188,6 +188,13 @@ def main() -> None:
         )
         assert bt_mm == 0 and agg_mm == 0 and sel_mm == 0, parity
 
+    # driver-vs-suite relation, made explicit: BENCH_SUITE's
+    # gif_teddy_450x375_d64 row uses the same enqueue-depth-40 methodology,
+    # so its expected per-frame time is device_frame_ms + C/40 — any
+    # residual driver/suite gap beyond the multi-tenant spread is relay-C
+    # variation between runs, not a pipeline regression
+    suite_pred_ms = round(t_frame_ms + relay_c_ms / ITERS, 3)
+
     print(json.dumps({
         "metric": "stereo_gif_fps_teddy_450x375_d64",
         "value": round(fps, 3),
@@ -198,6 +205,9 @@ def main() -> None:
         "spread": spread,
         "relay_fixed_ms": relay_c_ms,     # per-batch fetch latency C
         "device_frame_ms": t_frame_ms,    # dt minus amortized C
+        # BENCH_SUITE gif_teddy row (iters=40) should read ~this ms/frame;
+        # value == 1000 / (device_frame_ms + relay_fixed_ms / 40)
+        "suite_pred_ms": suite_pred_ms,
     }))
 
 

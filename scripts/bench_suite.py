@@ -24,6 +24,17 @@ def _force(x):
     return np.asarray(jax.tree_util.tree_leaves(x)[0].reshape(-1)[:1])
 
 
+def _make_2k_stream_app(StereoMatchApp, AppConfig, SyntheticZEDSource):
+    # video mode with a 2K synthetic source (no bundled 2K dataset); the
+    # source is replaced post-construction because AppConfig's video_source
+    # spec string carries no size parameters
+    app = StereoMatchApp(AppConfig(
+        media_mode="video", video_source="synthetic", max_dis=256))
+    app._source = SyntheticZEDSource(
+        width=2208, height=1242, n_frames=10_000, max_disparity=256)
+    return app
+
+
 def bench(fn, args, iters=10, warmup=2):
     # enqueue-depth note: the axon relay adds a fixed ~26 ms latency to
     # the final host fetch (bench.py's depth sweep), so per-frame numbers
@@ -49,10 +60,18 @@ def main():
 
     results = []
 
-    def record(name, seconds, unit="frames/sec/chip", scale=1.0):
+    def record(name, seconds, unit="frames/sec/chip", scale=1.0, iters=None,
+               note=None):
+        # iters is recorded so the relay-fetch amortization (+C/iters ms
+        # per frame, C ~ 26-60 ms — bench.py's depth-sweep decomposition)
+        # can be compared across rows and against the driver headline
         fps = scale / seconds
         row = {"config": name, "value": round(fps, 3), "unit": unit,
                "ms_per_frame": round(seconds * 1e3 / scale, 3)}
+        if iters is not None:
+            row["iters"] = iters
+        if note is not None:
+            row["note"] = note
         results.append(row)
         print(json.dumps(row))
 
@@ -73,13 +92,13 @@ def main():
     # 1. golden: Teddy GIF d=64
     cfg = GIFConfig()
     f = jax.jit(lambda a, b: stereo_gif_forward(a, b, cfg))
-    record("gif_teddy_450x375_d64", bench(f, (l64, r64), iters=40))
+    record("gif_teddy_450x375_d64", bench(f, (l64, r64), iters=40), iters=40)
 
     # 2. Teddy SGBM d=64
     lu = jnp.asarray(teddy.left_bgr)
     ru = jnp.asarray(teddy.right_bgr)
     fs = jax.jit(lambda a, b: stereo_sgbm_forward(a, b, SGBMConfig()))
-    record("sgbm_teddy_450x375_d64", bench(fs, (lu, ru), iters=40))
+    record("sgbm_teddy_450x375_d64", bench(fs, (lu, ru), iters=40), iters=40)
 
     # 3. HD720 GIF d=128
     try:
@@ -87,7 +106,7 @@ def main():
         rh = jnp.asarray(tiled(teddy.right_f32, (720, 1280)))
         cfg128 = GIFConfig(max_dis=128)
         fh = jax.jit(lambda a, b: stereo_gif_forward(a, b, cfg128))
-        record("gif_hd720_1280x720_d128", bench(fh, (lh, rh), iters=16))
+        record("gif_hd720_1280x720_d128", bench(fh, (lh, rh), iters=16), iters=16)
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"config": "gif_hd720_1280x720_d128", "error": str(e)[:200]}))
 
@@ -98,7 +117,7 @@ def main():
         r2k = jnp.asarray(tiled(teddy.right_f32, (1242, 2208)))
         cfg256 = GIFConfig(max_dis=256)
         f2k = jax.jit(lambda a, b: stereo_gif_forward(a, b, cfg256))
-        record("gif_2k_2208x1242_d256", bench(f2k, (l2k, r2k), iters=12))
+        record("gif_2k_2208x1242_d256", bench(f2k, (l2k, r2k), iters=12), iters=12)
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"config": "gif_2k_2208x1242_d256", "error": str(e)[:200]}))
 
@@ -111,16 +130,18 @@ def main():
         lb = jnp.broadcast_to(l64, (B, *l64.shape))
         rb = jnp.broadcast_to(r64, (B, *r64.shape))
         fb = jax.jit(lambda a, b: stereo_gif_forward_batch(a, b, cfg))
-        record("gif_teddy_batch8", bench(fb, (lb, rb), iters=10), scale=B)
+        record("gif_teddy_batch8", bench(fb, (lb, rb), iters=10), scale=B, iters=10)
         # naive vmap with the DEFAULT (Pallas) impls: the maps/cvc entries
         # carry custom_vmap rules (batch-folded WTA, per-frame CVC maps),
         # so this measures what a user gets from plain jax.vmap
         fv = jax.jit(jax.vmap(lambda a, b: stereo_gif_forward(a, b, cfg)))
-        record("gif_teddy_batch8_vmap", bench(fv, (lb, rb), iters=10), scale=B)
+        record("gif_teddy_batch8_vmap", bench(fv, (lb, rb), iters=10), scale=B, iters=10)
         # the all-XLA-impl vmap row kept for continuity with r2/r3 numbers
         cfg_x = GIFConfig(wta_impl="xla", wmf_impl="jnp")
         fvx = jax.jit(jax.vmap(lambda a, b: stereo_gif_forward(a, b, cfg_x)))
-        record("gif_teddy_batch8_vmap_xla", bench(fvx, (lb, rb), iters=5), scale=B)
+        record("gif_teddy_batch8_vmap_xla", bench(fvx, (lb, rb), iters=5), scale=B,
+               iters=5,
+               note="XLA fallback under plain jax.vmap — deliberate comparison row (kernel custom_vmap rules give the batch8/vmap rows above); the ~30x spread vs gif_teddy_batch8 is expected, not a regression")
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"config": "gif_teddy_batch8", "error": str(e)[:200]}))
 
@@ -135,7 +156,7 @@ def main():
             ru8 = jnp.asarray(tiled(teddy.right_bgr, hw))
             scfg = SGBMConfig(num_disparities=nd)
             fsg = jax.jit(lambda a, b, c=scfg: stereo_sgbm_forward(a, b, c))
-            record(name, bench(fsg, (lu8, ru8), iters=it))
+            record(name, bench(fsg, (lu8, ru8), iters=it), iters=it)
         except Exception as e:  # noqa: BLE001
             print(json.dumps({"config": name, "error": str(e)[:200]}))
 
@@ -153,9 +174,54 @@ def main():
             ("gif_2k_sharded_mesh111", (l2k, r2k), cfg256, 8),
         ):
             step = make_sharded_gif(mesh, c)
-            record(name, bench(step, (lx[None], rx[None]), iters=it))
+            record(name, bench(step, (lx[None], rx[None]), iters=it), iters=it)
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"config": "gif_sharded_mesh111", "error": str(e)[:200]}))
+
+    # 8. sharded SGBM (batch-DP dispatch) at mesh (1,1,1): the DP shard_map
+    #    overhead on hardware — previously only CPU-mesh tested + dryrun
+    try:
+        from primestereomatch_tpu.parallel import MeshPlan, make_mesh, make_sharded_sgbm
+
+        mesh = make_mesh(MeshPlan(1, 1, 1), jax.devices()[:1])
+        l2u = jnp.asarray(tiled(teddy.left_bgr, (1242, 2208)))
+        r2u = jnp.asarray(tiled(teddy.right_bgr, (1242, 2208)))
+        for name, (lx, rx), nd, it in (
+            ("sgbm_teddy_sharded_mesh111", (lu, ru), 64, 20),
+            ("sgbm_2k_sharded_mesh111", (l2u, r2u), 256, 8),
+        ):
+            step = make_sharded_sgbm(mesh, SGBMConfig(num_disparities=nd))
+            record(name, bench(step, (lx[None], rx[None]), iters=it), iters=it)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"config": "sgbm_sharded_mesh111", "error": str(e)[:200]}))
+
+    # 9. streaming (`StereoMatchApp.stream` / CLI --pipeline): pipelined
+    #    async dispatch with FULL per-frame host fetches — unlike the
+    #    enqueue-N rows above, every frame pays the relay's fixed
+    #    device-to-host fetch latency (overlapped with the next frame's
+    #    compute), so this row measures end-to-end serving latency, not
+    #    device throughput
+    try:
+        from primestereomatch_tpu.app import AppConfig, StereoMatchApp
+        from primestereomatch_tpu.utils.video import SyntheticZEDSource
+
+        for name, mk, frames in (
+            ("gif_teddy_stream", lambda: StereoMatchApp(AppConfig(
+                media_mode="image", dataset="Teddy")), 40),
+            ("gif_2k_stream", lambda: _make_2k_stream_app(
+                StereoMatchApp, AppConfig, SyntheticZEDSource), 12),
+        ):
+            app = mk()
+            for _ in app.stream(4):    # warmup (compile + relay cold start)
+                pass
+            t0 = time.perf_counter()
+            n = sum(1 for _ in app.stream(frames))
+            dt = (time.perf_counter() - t0) / max(n, 1)
+            record(name, dt, iters=frames,
+                   note="pipelined stream(): full disparity fetch per frame "
+                        "(relay fetch latency overlapped, not amortized)")
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"config": "gif_stream", "error": str(e)[:200]}))
 
     with open("BENCH_SUITE.json", "w") as fjson:
         json.dump(results, fjson, indent=1)
