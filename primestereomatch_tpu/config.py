@@ -67,6 +67,15 @@ class GIFConfig:
     # Last-ulp float-contraction differences vs the XLA cost can move
     # knife-edge argmin ties (same tolerance class as wta_impl).
     cvc_impl: str = "auto"       # auto | xla | fused
+    # FULL tail fusion: build the cost AND the coefficient-map chain
+    # INSIDE the WTA kernel (kernels/cvc_wta_pallas.py) so neither the
+    # cost volume nor the (4, D, h, w) maps tensor ever exists in HBM
+    # (~1 GB written + ~4 GB re-read per view at 2K/d=256). Applies on
+    # the Pallas WTA path at exact-stride phase-periodic geometries
+    # (2K / HD720 / ZED) with f32 CVC; other shapes keep the
+    # cvc_lowmaps + poly-WTA pair. 'auto' = fused whenever applicable.
+    # Same last-ulp tolerance class as wta_impl/cvc_impl.
+    tail_fusion: str = "auto"    # auto | maps | full
     # 'u8' builds the cost volume with the reference's quantized uchar
     # OpenCL-kernel semantics (assets/cvc.cl:42-126 cvc_uchar_vx + the
     # CV_8U host prep of src/CVC_cl.cpp:125-131): u8 inputs/gradients,

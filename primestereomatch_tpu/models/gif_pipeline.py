@@ -198,6 +198,33 @@ def stereo_gif_forward(
                 fgf_wta_pallas_maps,
             )
 
+            # FULL tail fusion: cost + maps chain + WTA in ONE kernel
+            # (kernels/cvc_wta_pallas.py) — the maps tensor never hits
+            # HBM. Requires the same geometry the fused CVC does, plus
+            # phase periodicity (cvc_wta_applicable).
+            if fuse_cvc and cfg.tail_fusion in ("auto", "full"):
+                from primestereomatch_tpu.kernels.cvc_wta_pallas import (
+                    cvc_fgf_wta_pallas,
+                    cvc_wta_applicable,
+                )
+
+                if cvc_wta_applicable(
+                    W, len(xi), xi, cfg.max_dis, s, H, len(yi),
+                    radius=cfg.gif_radius,
+                ):
+                    fwta = functools.partial(
+                        cvc_fgf_wta_pallas, max_dis=cfg.max_dis,
+                        yi=yi, xi=xi, radius=cfg.gif_radius,
+                        eps=cfg.gif_eps, subsample=s, alpha=cfg.alpha,
+                        border_cost=cfg.border_cost,
+                        tau1=cfg.tau1, tau2=cfg.tau2,
+                    )
+                    l_disp = fwta(l_img, l_grd, r_img, r_grd, is_left=True)
+                    r_disp = fwta(r_img, r_grd, l_img, l_grd, is_left=False)
+                    return _gif_postprocess(
+                        l_disp, r_disp, l_img, r_img, cfg, run_postprocess,
+                        l_findex, r_findex, wmap,
+                    )
             if fuse_cvc:
                 # cost volume built inside the low-maps kernel from the
                 # polyphase planes — never materialized in HBM
@@ -273,7 +300,17 @@ def stereo_gif_forward(
         l_disp = wta(l_img, ma_l, mb_l)
         r_disp = wta(r_img, ma_r, mb_r)
 
-    # --- PP ------------------------------------------------------------------
+    return _gif_postprocess(
+        l_disp, r_disp, l_img, r_img, cfg, run_postprocess,
+        l_findex, r_findex, wmap,
+    )
+
+
+def _gif_postprocess(
+    l_disp, r_disp, l_img, r_img, cfg: GIFConfig, run_postprocess,
+    l_findex=None, r_findex=None, wmap=None,
+):
+    """Shared PP tail of stereo_gif_forward (src/PP.cpp:402-425)."""
     if run_postprocess and cfg.pp_toolchain:
         # the reference's full (shipped-disabled) toolchain, src/PP.cpp:405-413
         l_valid, r_valid = lr_check(l_disp, r_disp)

@@ -777,3 +777,82 @@ def test_sgbm_aggregate_dhw_direct_consumption(rng, monkeypatch, nd):
         in_layout="dhw", out_layout="hdw", logical_hw=(H, W),
     ))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize(
+    "H,W,D,s", [(128, 256, 16, 4), (126, 256, 16, 4), (96, 192, 8, 2)]
+)
+def test_cvc_wta_fused_matches_composition(rng, H, W, D, s):
+    """FULLY fused CVC+maps+WTA kernel (kernels/cvc_wta_pallas.py) ==
+    cvc_fgf_low_maps_pallas -> fgf_wta_pallas_maps(poly) on columns
+    >= ncl (bitwise: shared chain code, weight-0-exact row matmul); the
+    ncl clamped left columns are recomputed from the XLA strip chain,
+    where only knife-edge argmin ties may differ. Covers non-divisible
+    rows (126/4) and P=2."""
+    from primestereomatch_tpu.kernels.cvc_lowmaps_pallas import (
+        cvc_fgf_low_maps_pallas,
+    )
+    from primestereomatch_tpu.kernels.cvc_wta_pallas import (
+        cvc_fgf_wta_pallas,
+        cvc_wta_applicable,
+    )
+    from primestereomatch_tpu.kernels.wta_pallas import (
+        fgf_wta_pallas_maps,
+        poly_col_params,
+    )
+    from primestereomatch_tpu.ops.resize import nearest_indices
+
+    h, w = H // s, W // s
+    yi = nearest_indices(H, h)
+    xi = nearest_indices(W, w)
+    assert cvc_wta_applicable(W, w, xi, D, s, H, h)
+    pp = poly_col_params(w, W)
+    assert pp is not None and pp["exact"]
+    ncl = pp["ncl"]
+    l = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+    r = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+    lg = jnp.asarray(rng.random((H, W)).astype(np.float32))
+    rg = jnp.asarray(rng.random((H, W)).astype(np.float32))
+    for is_left, img, grd, o_img, o_grd in [
+        (True, l, lg, r, rg), (False, r, rg, l, lg),
+    ]:
+        maps = cvc_fgf_low_maps_pallas(
+            img, grd, o_img, o_grd, is_left, D, yi, xi, 8, 1e-4, s,
+            out_wp=pp["out_wp"], out_margin=pp["margin"], poison_d0=True,
+            interpret=True,
+        )
+        want = np.asarray(fgf_wta_pallas_maps(
+            img, maps, (h, w), (H, W), d_chunk=min(8, D), poly=True,
+            mask_d0=False, maps_layout="poly", interpret=True,
+        ))
+        got = np.asarray(cvc_fgf_wta_pallas(
+            img, grd, o_img, o_grd, is_left, D, yi, xi, 8, 1e-4, s,
+            interpret=True,
+        ))
+        np.testing.assert_array_equal(got[:, ncl:], want[:, ncl:])
+        # clamped left columns: strip-chain recompute, last-ulp ties only
+        assert (got[:, :ncl] != want[:, :ncl]).mean() <= 5e-3
+
+
+def test_cvc_wta_fused_tau_and_tile_h(rng):
+    """tau clamps flow through the fused CVC+WTA kernel, and the tile
+    height only changes the schedule (bitwise-equal outputs)."""
+    from primestereomatch_tpu.kernels.cvc_wta_pallas import cvc_fgf_wta_pallas
+    from primestereomatch_tpu.ops.resize import nearest_indices
+
+    H, W, D, s = 96, 256, 8, 4
+    h, w = H // s, W // s
+    yi = nearest_indices(H, h)
+    xi = nearest_indices(W, w)
+    l = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+    r = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+    lg = jnp.asarray(rng.random((H, W)).astype(np.float32))
+    rg = jnp.asarray(rng.random((H, W)).astype(np.float32))
+    kw = dict(tau1=0.3, tau2=0.05, interpret=True)
+    a = np.asarray(cvc_fgf_wta_pallas(
+        l, lg, r, rg, True, D, yi, xi, 8, 1e-4, s, tile_h=32, **kw))
+    b = np.asarray(cvc_fgf_wta_pallas(
+        l, lg, r, rg, True, D, yi, xi, 8, 1e-4, s, tile_h=16, **kw))
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (H, W) and a.dtype == np.uint8
+    assert a.max() < D and (a > 0).any()
