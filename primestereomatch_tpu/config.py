@@ -73,9 +73,16 @@ class GIFConfig:
     # (~1 GB written + ~4 GB re-read per view at 2K/d=256). Applies on
     # the Pallas WTA path at exact-stride phase-periodic geometries
     # (2K / HD720 / ZED) with f32 CVC; other shapes keep the
-    # cvc_lowmaps + poly-WTA pair. 'auto' = fused whenever applicable.
-    # Same last-ulp tolerance class as wta_impl/cvc_impl.
-    tail_fusion: str = "auto"    # auto | maps | full
+    # cvc_lowmaps + poly-WTA pair. Same last-ulp tolerance class as
+    # wta_impl/cvc_impl (hardware parity measured 0 px at 2K).
+    # DEFAULT 'maps': the fused kernel is compute-bound at 22.9 ms/view
+    # (2K, fori/TH=64) vs ~20.4 ms/view device for the two-kernel pair —
+    # with the HBM traffic gone, the maps-chain VPU stage (~20% efficient
+    # at these block shapes) dominates (v5e round-5 ablation: chain+cost
+    # ~16, matmul ~3.9, lerp ~3.0 ms/view). 'full' opts into the fused
+    # kernel — the right choice when HBM capacity/traffic is the
+    # constraint (~150 MB/frame vs ~10 GB/frame) or under heavy batching.
+    tail_fusion: str = "maps"    # maps | full
     # 'u8' builds the cost volume with the reference's quantized uchar
     # OpenCL-kernel semantics (assets/cvc.cl:42-126 cvc_uchar_vx + the
     # CV_8U host prep of src/CVC_cl.cpp:125-131): u8 inputs/gradients,

@@ -64,6 +64,13 @@ from primestereomatch_tpu.ops.guided_filter import _color_inverse_cov
 
 MS = 2           # in-VMEM left maps margin (lanes for the sA slice)
 VMEM_BUDGET = 10 << 20
+# debug/tuning knob: row-interp matmul precision ("highest" = exact-f32
+# 6-pass, the parity requirement; "default" = bf16 1-pass, BENCH ONLY)
+_MM_PRECISION = "highest"
+# debug-only stage ablation for perf attribution (bench scripts): set to
+# "chain" to bypass the maps chain, "lerp" to bypass the phase lerps —
+# WRONG RESULTS, timing only
+_DEBUG_SKIP = ""
 
 
 def _chain_vals(p, stat_blk, *, k: int):
@@ -112,8 +119,11 @@ def _cvc_wta_kernel(
     alpha: float, border_cost: float,
     tau1: float | None, tau2: float | None,
     is_left: bool, TH: int, P: int, TWQ: int, deltas: tuple,
-    mm_precision=jax.lax.Precision.HIGHEST,
+    mm_precision=None,
 ):
+    if mm_precision is None:
+        mm_precision = {"highest": jax.lax.Precision.HIGHEST,
+                        "default": jax.lax.Precision.DEFAULT}[_MM_PRECISION]
     c = pl.program_id(1)
     nc = pl.num_programs(1)
     off = (qmax - c) if is_left else c
@@ -228,6 +238,131 @@ def _cvc_wta_kernel(
         out_ref[...] = arg_scr[...]
 
 
+def _cvc_wta_kernel_fori(
+    planes_blk, stat_blk, view_blk, guide_blk, ryw_blk, wx_blk, out_ref,
+    cost_scr,
+    *, k: int, s: int, M: int, w: int, W: int, qmax: int, nc: int,
+    alpha: float, border_cost: float,
+    tau1: float | None, tau2: float | None,
+    is_left: bool, TH: int, P: int, TWQ: int, deltas: tuple,
+    mm_precision=None,
+):
+    """Chunk-loop-inside schedule: grid = (row tiles,), the disparity
+    chunks run in a fori_loop with the (best, arg) fold as the carry —
+    every input block is DMA'd exactly once per row tile (the grid-axis
+    schedule re-streams them per chunk step, ~7 GB/view at 2K)."""
+    if mm_precision is None:
+        mm_precision = {"highest": jax.lax.Precision.HIGHEST,
+                        "default": jax.lax.Precision.DEFAULT}[_MM_PRECISION]
+    WI = stat_blk.shape[3]
+    base = MS + M
+
+    ls0 = view_blk[0, 0]
+    ls1 = view_blk[0, 1]
+    ls2 = view_blk[0, 2]
+    lg = view_blk[0, 3]
+    xs = view_blk[0, 4]
+    WB = planes_blk.shape[3]
+
+    def pair_cost(b0, b1, b2, bg):
+        clr = jnp.abs(ls0 - b0) + jnp.abs(ls1 - b1) + jnp.abs(ls2 - b2)
+        grd = jnp.abs(lg - bg)
+        if tau1 is not None:
+            clr = jnp.minimum(clr, tau1)
+        if tau2 is not None:
+            grd = jnp.minimum(grd, tau2)
+        return alpha * clr + (1.0 - alpha) * grd
+
+    bc = jnp.float32(border_cost)
+    border = pair_cost(bc, bc, bc, bc)
+
+    ry = ryw_blk[0, :, 0:1]
+    fy = ryw_blk[0, :, 1:2]
+
+    best0 = jnp.full((P, TH, TWQ), jnp.inf, jnp.float32)
+    arg0 = jnp.zeros((P, TH, TWQ), jnp.int32)
+
+    def chunk_body(c, carry):
+        best, arg = carry
+        off = (qmax - c) if is_left else c
+        planes_rot = pltpu.roll(planes_blk[0], WB - off, axis=2)
+        for j in range(s):
+            pj = planes_rot[4 * j : 4 * j + 4, :, :WI]
+            cost = pair_cost(pj[0], pj[1], pj[2], pj[3])
+            d = (c * s + j).astype(jnp.float32)
+            mask = (xs >= d) if is_left else (xs < (W - d))
+            cost_scr[j] = jnp.where(mask, cost, border)
+        for t in range(M):
+            cost_scr[:, :, base - 1 - t] = cost_scr[:, :, base + 1 + t]
+            cost_scr[:, :, base + w + t] = cost_scr[:, :, base + w - 2 - t]
+
+        if _DEBUG_SKIP == "chain":
+            sl = cost_scr[:, M : stat_blk.shape[2] - M, M : WI - M]
+            a_r = a_g = a_b = b = sl * 0.25
+        else:
+            a_r, a_g, a_b, b = _chain_vals(cost_scr[...], stat_blk, k=k)
+        d0sel = (c == 0) & (
+            jax.lax.broadcasted_iota(jnp.int32, (s, 1, 1), 0) == 0
+        )
+        a_r = jnp.where(d0sel, 0.0, a_r)
+        a_g = jnp.where(d0sel, 0.0, a_g)
+        a_b = jnp.where(d0sel, 0.0, a_b)
+        b = jnp.where(d0sel, D0_POISON, b)
+        RSM = a_r.shape[1]
+        CS = a_r.shape[2]
+        maps4 = jnp.stack([a_r, a_g, a_b, b]).reshape(4 * s, RSM, CS)
+
+        rr = jax.lax.broadcasted_iota(jnp.int32, (TH, RSM), 1)
+        ry_i = ry.astype(jnp.int32)
+        w_row = (
+            jnp.where(rr == ry_i, 1.0 - fy, 0.0)
+            + jnp.where(rr == ry_i + 1, fy, 0.0)
+        )
+        wr_b = jnp.broadcast_to(w_row, (4 * s, TH, RSM))
+        rowed = jax.lax.dot_general(
+            wr_b, maps4,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=mm_precision,
+        ).reshape(4, s, TH, CS)
+
+        sA = rowed[..., MS - 1 : MS - 1 + TWQ]
+        sB = rowed[..., MS : MS + TWQ]
+        sC = rowed[..., MS + 1 : MS + 1 + TWQ]
+
+        if _DEBUG_SKIP == "lerp":
+            q0 = sB[0] + sB[1] + sB[2] + sB[3]
+            c_min = jnp.broadcast_to(q0.min(axis=0)[None], (P, TH, TWQ))
+            c_arg = jnp.full((P, TH, TWQ), c * s, jnp.int32)
+        else:
+            mins, args_ = [], []
+            for r in range(P):
+                wx = wx_blk[0, r, :][None, None, :]
+
+                def comb(s4):
+                    return (
+                        s4[0] * guide_blk[0, r]
+                        + s4[1] * guide_blk[1, r]
+                        + s4[2] * guide_blk[2, r]
+                        + s4[3]
+                    )
+
+                a, bb = (
+                    (comb(sA), comb(sB)) if deltas[r] == -1
+                    else (comb(sB), comb(sC))
+                )
+                q = a * (1.0 - wx) + bb * wx
+                mins.append(jnp.min(q, axis=0))
+                args_.append((c * s + jnp.argmin(q, axis=0)).astype(jnp.int32))
+            c_min = jnp.stack(mins)
+            c_arg = jnp.stack(args_)
+        take = c_min < best
+        return jnp.where(take, c_min, best), jnp.where(take, c_arg, arg)
+
+    best, arg = jax.lax.fori_loop(0, nc, chunk_body, (best0, arg0))
+    out_ref[...] = arg
+
+
 def _poly_exact_params(w: int, W: int) -> dict | None:
     """Exact-stride polyphase parameters (subset of
     wta_pallas.poly_col_params restricted to W == P*w, single column
@@ -300,7 +435,7 @@ def _vmem_model(s, M, TI, WI, WB, P, TH, TWQ, RSM):
 def _plan_th(h, H, s, M, w, qmax, P, TWQ, budget=VMEM_BUDGET):
     """Largest output-rows-per-tile whose VMEM model fits."""
     WI = MS + 2 * M + TWQ + 1
-    WB = qmax + WI
+    WB = _round_up(qmax + WI, 128)
     for th in (64, 32, 16, 8):
         _, _, _, _, RSM, _ = _row_plan(h, H, th)
         TI = RSM + 2 * M
@@ -349,6 +484,7 @@ def cvc_fgf_wta_pallas(
     tau1: float | None = None,
     tau2: float | None = None,
     tile_h: int | None = None,
+    schedule: str = "grid",   # "grid" (chunks on the grid axis) | "fori"
     interpret: bool = False,
 ) -> jax.Array:
     """Fully fused CVC + low-maps + WTA for one view: returns the (H, W)
@@ -363,7 +499,7 @@ def cvc_fgf_wta_pallas(
     def run(a, ag, b, bg):
         return _cvc_fgf_wta_impl(
             a, ag, b, bg, is_left, max_dis, yi, xi, radius, eps, subsample,
-            alpha, border_cost, tau1, tau2, tile_h, interpret,
+            alpha, border_cost, tau1, tau2, tile_h, schedule, interpret,
         )
 
     @run.def_vmap
@@ -375,7 +511,7 @@ def cvc_fgf_wta_pallas(
         out = jax.lax.map(
             lambda xs: _cvc_fgf_wta_impl(
                 *xs, is_left, max_dis, yi, xi, radius, eps, subsample,
-                alpha, border_cost, tau1, tau2, tile_h, interpret,
+                alpha, border_cost, tau1, tau2, tile_h, schedule, interpret,
             ),
             tuple(args),
         )
@@ -440,7 +576,7 @@ def _left_edge_fixup(
 
 def _cvc_fgf_wta_impl(
     img, grd, other_img, other_grd, is_left, max_dis, yi, xi, radius, eps,
-    subsample, alpha, border_cost, tau1, tau2, tile_h, interpret,
+    subsample, alpha, border_cost, tau1, tau2, tile_h, schedule, interpret,
 ):
     H, W, _ = img.shape
     yi = np.asarray(yi)
@@ -468,7 +604,9 @@ def _cvc_fgf_wta_impl(
     hp, nty, sy, fy, RSM, starts = _row_plan(h, H, TH)
     TI = RSM + 2 * M
     WI = MS + 2 * M + TWQ + 1
-    WB = qmax + WI
+    # lane-aligned so the in-kernel dynamic rotate has an aligned shape
+    # (Mosaic: "unsupported unaligned shape" on tpu.dynamic_rotate otherwise)
+    WB = _round_up(qmax + WI, 128)
     base = MS + M
 
     # ---- sampled local view + polyphase planes of the other view ----------
@@ -563,31 +701,55 @@ def _cvc_fgf_wta_impl(
     wx = np.zeros((1, 8, TWQ), np.float32)
     wx[0, :P] = pp["wx"]
 
-    kernel = functools.partial(
-        _cvc_wta_kernel, k=k, s=s, M=M, w=w, W=W, qmax=qmax,
-        alpha=alpha, border_cost=border_cost, tau1=tau1, tau2=tau2,
-        is_left=is_left, TH=TH, P=P, TWQ=TWQ, deltas=deltas,
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=(nty, D // s),
-        in_specs=[
-            pl.BlockSpec((1, 4 * s, TI, WB), lambda i, c: (i, 0, 0, 0)),
-            pl.BlockSpec((1, 12, TI, WI), lambda i, c: (i, 0, 0, 0)),
-            pl.BlockSpec((1, 5, TI, WI), lambda i, c: (i, 0, 0, 0)),
-            pl.BlockSpec((3, P, TH, TWQ), lambda i, c: (0, 0, i, 0)),
-            pl.BlockSpec((1, TH, 128), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, 8, TWQ), lambda i, c: (0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((P, TH, TWQ), lambda i, c: (0, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((P, hp, TWQ), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((s, TI, WI), jnp.float32),
-            pltpu.VMEM((P, TH, TWQ), jnp.float32),
-            pltpu.VMEM((P, TH, TWQ), jnp.int32),
-        ],
-        interpret=interpret,
-    )(p_tiles, s_tiles, v_tiles, gp, jnp.asarray(ryw), jnp.asarray(wx))
+    if schedule == "fori":
+        kernel = functools.partial(
+            _cvc_wta_kernel_fori, k=k, s=s, M=M, w=w, W=W, qmax=qmax,
+            nc=D // s, alpha=alpha, border_cost=border_cost,
+            tau1=tau1, tau2=tau2,
+            is_left=is_left, TH=TH, P=P, TWQ=TWQ, deltas=deltas,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(nty,),
+            in_specs=[
+                pl.BlockSpec((1, 4 * s, TI, WB), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((1, 12, TI, WI), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((1, 5, TI, WI), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((3, P, TH, TWQ), lambda i: (0, 0, i, 0)),
+                pl.BlockSpec((1, TH, 128), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, 8, TWQ), lambda i: (0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((P, TH, TWQ), lambda i: (0, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((P, hp, TWQ), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((s, TI, WI), jnp.float32)],
+            interpret=interpret,
+        )(p_tiles, s_tiles, v_tiles, gp, jnp.asarray(ryw), jnp.asarray(wx))
+    else:
+        kernel = functools.partial(
+            _cvc_wta_kernel, k=k, s=s, M=M, w=w, W=W, qmax=qmax,
+            alpha=alpha, border_cost=border_cost, tau1=tau1, tau2=tau2,
+            is_left=is_left, TH=TH, P=P, TWQ=TWQ, deltas=deltas,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(nty, D // s),
+            in_specs=[
+                pl.BlockSpec((1, 4 * s, TI, WB), lambda i, c: (i, 0, 0, 0)),
+                pl.BlockSpec((1, 12, TI, WI), lambda i, c: (i, 0, 0, 0)),
+                pl.BlockSpec((1, 5, TI, WI), lambda i, c: (i, 0, 0, 0)),
+                pl.BlockSpec((3, P, TH, TWQ), lambda i, c: (0, 0, i, 0)),
+                pl.BlockSpec((1, TH, 128), lambda i, c: (i, 0, 0)),
+                pl.BlockSpec((1, 8, TWQ), lambda i, c: (0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((P, TH, TWQ), lambda i, c: (0, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((P, hp, TWQ), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((s, TI, WI), jnp.float32),
+                pltpu.VMEM((P, TH, TWQ), jnp.float32),
+                pltpu.VMEM((P, TH, TWQ), jnp.int32),
+            ],
+            interpret=interpret,
+        )(p_tiles, s_tiles, v_tiles, gp, jnp.asarray(ryw), jnp.asarray(wx))
 
     disp = jnp.transpose(out[:, :H, :w], (1, 2, 0)).reshape(H, w * P)[:, :W]
     disp = disp.astype(jnp.uint8)

@@ -202,7 +202,7 @@ def stereo_gif_forward(
             # (kernels/cvc_wta_pallas.py) — the maps tensor never hits
             # HBM. Requires the same geometry the fused CVC does, plus
             # phase periodicity (cvc_wta_applicable).
-            if fuse_cvc and cfg.tail_fusion in ("auto", "full"):
+            if fuse_cvc and cfg.tail_fusion == "full":
                 from primestereomatch_tpu.kernels.cvc_wta_pallas import (
                     cvc_fgf_wta_pallas,
                     cvc_wta_applicable,

@@ -2,9 +2,14 @@
 the JAX ops (primestereomatch_tpu/ops/sgbm.py) must match bit-for-bit.
 
 Semantics follow Hirschmuller PAMI'08 + Birchfield-Tomasi with the
-reference's parameter set (src/StereoMatch.cpp:639-660); documented deltas
-from OpenCV's implementation: replicate-border window sums and gather-based
-right disparity for the LR check."""
+reference's parameter set (src/StereoMatch.cpp:639-660), matched to
+cv::StereoSGBM's observable behavior (the reference's actual component,
+src/StereoMatch.cpp:180): [1,2,1]-smoothed clipped Sobel-x prefilter
+(`sobel_xclip`), integer truncating sub-pixel refinement, scatter-based
+pseudo right disparity with the floor/ceil dual LR check, and minX
+left-band invalidation — validated end-to-end against raw cv2 outputs in
+tests/test_sgbm_cv2_golden.py. Remaining documented delta from OpenCV:
+replicate-border window sums (ours) vs OpenCV's row-buffer border math."""
 
 from __future__ import annotations
 
@@ -21,6 +26,28 @@ def clipped_xderiv(img_u8: np.ndarray, cap: int) -> np.ndarray:
         left = x[:, max(xx - 1, 0)]
         right = x[:, min(xx + 1, W - 1)]
         out[:, xx] = np.clip(right - left, -cap, cap) + cap
+    return out
+
+
+def sobel_xclip(img_u8: np.ndarray, cap: int) -> np.ndarray:
+    """cv::StereoSGBM prefilter: x-Sobel with [1,2,1] vertical smoothing
+    (2*(I[y][x+1]-I[y][x-1]) + the same diff on rows y-1 and y+1, borders
+    replicated), clipped to [-cap, cap], shifted to [0, 2*cap]."""
+    x = img_u8.astype(np.int64)
+    H, W, C = x.shape
+    out = np.zeros_like(x)
+    for yy in range(H):
+        yu = max(yy - 1, 0)
+        yd = min(yy + 1, H - 1)
+        for xx in range(W):
+            xl = max(xx - 1, 0)
+            xr = min(xx + 1, W - 1)
+            sob = (
+                2 * (x[yy, xr] - x[yy, xl])
+                + (x[yu, xr] - x[yu, xl])
+                + (x[yd, xr] - x[yd, xl])
+            )
+            out[yy, xx] = np.clip(sob, -cap, cap) + cap
     return out
 
 
