@@ -138,15 +138,15 @@ def main() -> None:
         )
         from primestereomatch_tpu.ops.sgbm import (
             bt_block_cost,
-            clipped_xderiv,
             select_disparity_hdw,
+            sobel_xclip,
         )
 
         scfg = SGBMConfig()
         H, W, ch = sample.left_bgr.shape
         cost_bound = scfg.block_size**2 * ch * 2 * scfg.pre_filter_cap
-        l_ftr = clipped_xderiv(jnp.asarray(sample.left_bgr), scfg.pre_filter_cap)
-        r_ftr = clipped_xderiv(jnp.asarray(sample.right_bgr), scfg.pre_filter_cap)
+        l_ftr = sobel_xclip(jnp.asarray(sample.left_bgr), scfg.pre_filter_cap)
+        r_ftr = sobel_xclip(jnp.asarray(sample.right_bgr), scfg.pre_filter_cap)
         C_k = bt_block_cost_pallas(
             l_ftr, r_ftr, scfg.num_disparities, scfg.block_size,
             cost_bound=cost_bound, rows_to=-(-H // 128) * 128,

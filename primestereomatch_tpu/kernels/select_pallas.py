@@ -13,21 +13,18 @@ kernels/sgbm_pallas.py) directly — S never exists in HBM — and runs two
 sequential passes per row tile with all running planes VMEM-resident:
 
   pass 0 (d descending): running (min, argmin) for d_best/s_best
-      (<= ties keep the smaller d == ascending first-min), and the
-      right-view diagonal walk rd(y, xr) = argmin_d S(y, d, xr + d):
-      the running pair lives at lane x = xr + d, so each d -> d-1 step
-      is one lane shift with BIG entering at lane W-1 (the exact
-      formulation of ops/sgbm.py::select_disparity_hdw:533-554).
-  pass 1 (re-reads the blocks): the far-set min (uniqueness), the
-      exact d_best -/+ 1 neighbour costs, then the sub-pixel parabola
-      the rd_at masked rolls, and the uniqueness + LR invalidation —
-      all integer/f32 math identical to the XLA op, so results are
-      BIT-IDENTICAL.
+      (<= ties keep the smaller d == ascending first-min).
+  pass 1 (re-reads the blocks): the far-set min (uniqueness) and the
+      exact d_best -/+ 1 neighbour costs.
 
-The LR epilogue (rd sampled at x - d_best) ALSO runs in-kernel: an XLA
-take_along_axis on the (H, W) plane measured 26.5 ms at 2K (TPU gathers
-serialize per element); here it is one masked dynamic lane roll per d
-during pass 1 — the exact D-masked-shift formulation, ~1 ms.
+The cv::StereoSGBM selection tail (`_ocv_select_epilogue` — truncating
+integer sub-pixel, minX band, SCATTER-based pseudo right disparity, the
+floor/ceil dual LR check; spec: tests/oracle_sgbm.py::select_disparity)
+then runs in-kernel on the small (TH, Wp) planes: the disp2 scatter is
+a descending-d running pair shifted one lane per step, and the two LR
+lookups are masked dynamic rolls — an XLA take_along_axis on the (H, W)
+plane measured 26.5 ms at 2K (TPU gathers serialize per element).
+Results are BIT-IDENTICAL to ops/sgbm.py::select_disparity_hdw.
 """
 
 from __future__ import annotations
@@ -50,6 +47,115 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _ocv_select_epilogue(
+    db, sb, not_unique, s_m, s_p, lane, *,
+    D: int, W: int, disp12_max_diff: int, min_disparity: int,
+):
+    """cv::StereoSGBM selection tail shared by both kernels (the exact
+    vector form of ops/sgbm.py::select_disparity_hdw's epilogue):
+    truncating integer sub-pixel, minX band, scatter-based pseudo right
+    disparity via a descending-d lane-shift walk, floor/ceil dual LR
+    check via masked dynamic rolls (positive shifts only — Mosaic
+    miscompiles negative dynamic rotates at non-power-of-two vreg
+    widths). Returns the final (TH, Wp) disp16 plane."""
+    big = jnp.int32(_BIG)
+    minD = min_disparity
+    minX1 = max(minD + D, 0)
+    maxX1 = W + min(minD, 0)
+    Wp = db.shape[-1]
+
+    interior = (db > 0) & (db < D - 1)
+    denom2 = jnp.maximum(s_m + s_p - 2 * sb, 1)
+    num = (s_m - s_p) * 16 + denom2
+    # exact C-truncating integer division without an integer divide (the
+    # VPU has none): f32 quotient (|num| <= 17*den < 2^26, so the f32
+    # estimate is within +-1 of truth even for a reciprocal-based divide)
+    # then a one-step correction to the exact floor(|num|/den)
+    den = 2 * denom2
+    an = jnp.abs(num)
+    qa = jnp.trunc(
+        an.astype(jnp.float32) / den.astype(jnp.float32)
+    ).astype(jnp.int32)
+    qa = jnp.where((qa + 1) * den <= an, qa + 1, qa)
+    qa = jnp.where(qa * den > an, qa - 1, qa)
+    frac = jnp.where(interior, jnp.sign(num) * qa, 0)
+    disp16 = (db + minD) * 16 + frac
+    in_range = (lane >= minX1) & (lane < maxX1)
+    valid0 = in_range & jnp.logical_not(not_unique)
+    inv_val = jnp.int32((minD - 1) * 16)
+    disp16 = jnp.where(valid0, disp16, inv_val)
+    if disp12_max_diff < 0:
+        return disp16
+
+    # disp2 walk: descending d with the running (cost, d) pair living at
+    # lane x = xr + d; each d -> d-1 transition is one left lane shift
+    # (BIG entering at lane W-1), `<=` so the lower d wins ties. The
+    # recurrence is inherently sequential, so the fori body UNROLLS 8
+    # steps — per-step loop/roll-issue latency (~2D sequential steps)
+    # measured +13 ms at 2K/d=256 in the un-unrolled form
+    cand = jnp.where(valid0, sb, big)
+    UN = 8 if D % 8 == 0 else 1
+
+    def wstep(t, carry):
+        m2, a2 = carry
+        for j in range(UN):
+            d = D - 1 - (t * UN + j)
+            m2 = jnp.where(
+                lane >= W - 1, big, pltpu.roll(m2, Wp - 1, axis=1)
+            )
+            a2 = pltpu.roll(a2, Wp - 1, axis=1)
+            sel = jnp.where(db == d, cand, big)
+            take = sel <= m2
+            m2 = jnp.where(take, sel, m2)
+            a2 = jnp.where(take, d, a2)
+        return m2, a2
+
+    m2, a2 = jax.lax.fori_loop(
+        0, D // UN, wstep, (jnp.full_like(db, big), jnp.zeros_like(db))
+    )
+    if minD > 0:       # frame at d=0 is xr + minD: one extra static shift
+        m2 = jnp.where(
+            lane >= W - minD, big, pltpu.roll(m2, Wp - minD, axis=1)
+        )
+        a2 = pltpu.roll(a2, Wp - minD, axis=1)
+    elif minD < 0:
+        raise NotImplementedError(
+            "select kernel supports min_disparity >= 0 (negative needs "
+            "negative dynamic rolls — use the XLA select)"
+        )
+    disp2 = jnp.where(m2 < big, a2 + minD, minD - 1)
+
+    # floor/ceil dual lookups disp2[x - d]: masked rolls, chunked — one
+    # DYNAMIC roll per 8 d values, composed with cheap static sub-rolls
+    # (roll(roll(x, a), j) == roll(x, a + j) exactly, circular)
+    d_f = jnp.right_shift(disp16, 4)
+    d_c = jnp.right_shift(disp16 + 15, 4)
+    invp = jnp.full_like(db, minD - 1)
+    LUN = 8
+    n_lk = (D + minD + 1 + LUN - 1) // LUN
+
+    def lstep(g, carry):
+        at_f, at_c = carry
+        base = pltpu.roll(disp2, g * LUN, axis=1)
+        for j in range(LUN):
+            dd = g * LUN + j
+            r = pltpu.roll(base, j, axis=1)
+            at_f = jnp.where(d_f == dd, r, at_f)
+            at_c = jnp.where(d_c == dd, r, at_c)
+        return at_f, at_c
+
+    at_f, at_c = jax.lax.fori_loop(0, n_lk, lstep, (invp, invp))
+    valid = disp16 != inv_val
+    lr_bad = (
+        valid
+        & (lane - d_f >= 0) & (at_f >= minD)
+        & (jnp.abs(at_f - d_f) > disp12_max_diff)
+        & (lane - d_c >= 0) & (at_c >= minD)
+        & (jnp.abs(at_c - d_c) > disp12_max_diff)
+    )
+    return jnp.where(lr_bad, inv_val, disp16)
+
+
 def _select_kernel(
     *refs,
     n_parts: int, D: int, DC: int, TH: int, W: int,
@@ -58,8 +164,7 @@ def _select_kernel(
     parts = refs[:n_parts]
     out_d = refs[n_parts]
     scr = refs[n_parts + 1]      # (8, TH, Wp) int32 running planes:
-    # [0]=walk min m, [1]=walk arg a (-> rd), [2]=s_best, [3]=d_best,
-    # [4]=s_alt, [5]=s_m, [6]=s_p, [7]=rd_at (rd sampled at x - d_best)
+    # [2]=s_best, [3]=d_best, [4]=s_alt, [5]=s_m, [6]=s_p
     p = pl.program_id(1)
     c = pl.program_id(2)
     n_dc = pl.num_programs(2)
@@ -74,42 +179,25 @@ def _select_kernel(
 
     @pl.when((p == 0) & (c == 0))
     def _():
-        scr[0] = jnp.full((TH, Wp), big)
-        scr[1] = jnp.zeros((TH, Wp), jnp.int32)
         scr[2] = jnp.full((TH, Wp), big)
         scr[3] = jnp.zeros((TH, Wp), jnp.int32)
         scr[4] = jnp.full((TH, Wp), big)
         scr[5] = jnp.full((TH, Wp), big)
         scr[6] = jnp.full((TH, Wp), big)
-        scr[7] = jnp.zeros((TH, Wp), jnp.int32)
 
     @pl.when(p == 0)
     def _():
         # this grid step's blocks hold d in [D - (c+1)*DC, D - c*DC)
-        # (descending index map); walk k from the top down
-        m = scr[0]
-        a = scr[1]
+        # (descending index map); <= ties keep the smaller d (first-min)
         sb = scr[2]
         db = scr[3]
         d0 = D - (c + 1) * DC
         for k in range(DC - 1, -1, -1):
             d_cur = jnp.int32(d0 + k)
             plane = S[:, k, :]
-            # lanes >= W hold scan-padding values (zeros) — the diagonal
-            # may only see BIG there (select_disparity_hdw's slices stop
-            # at W); the shift brings BIG in at lane W-1 exactly like
-            # the XLA pad
-            plane_w = jnp.where(lane < W, plane, big)
-            m = jnp.where(lane >= W - 1, big, pltpu.roll(m, Wp - 1, axis=1))
-            a = pltpu.roll(a, Wp - 1, axis=1)
-            take = plane_w <= m
-            m = jnp.where(take, plane_w, m)
-            a = jnp.where(take, d_cur, a)
             tb = plane <= sb
             sb = jnp.where(tb, plane, sb)
             db = jnp.where(tb, d_cur, db)
-        scr[0] = m
-        scr[1] = a
         scr[2] = sb
         scr[3] = db
 
@@ -120,8 +208,6 @@ def _select_kernel(
         s_alt = scr[4]
         s_m = scr[5]
         s_p = scr[6]
-        rd_at = scr[7]
-        rd = scr[1]
         dm_i = jnp.clip(db - 1, 0, D - 1)
         dp_i = jnp.clip(db + 1, 0, D - 1)
         d0 = c * DC
@@ -132,43 +218,20 @@ def _select_kernel(
             s_alt = jnp.where(far, jnp.minimum(s_alt, plane), s_alt)
             s_m = jnp.where(d_cur == dm_i, plane, s_m)
             s_p = jnp.where(d_cur == dp_i, plane, s_p)
-            # rd sampled at x - d_best: one masked dynamic lane roll per d
-            # (shift amounts are POSITIVE — Mosaic miscompiles negative
-            # dynamic rotates at non-power-of-two vreg widths). Lanes with
-            # x < d read circular junk that the LR edge terms mask below
-            # (exactly the `x - d_best < 0` clause of select_disparity_hdw).
-            rd_at = jnp.where(
-                db == d_cur, pltpu.roll(rd, d_cur, axis=1), rd_at
-            )
         scr[4] = s_alt
         scr[5] = s_m
         scr[6] = s_p
-        scr[7] = rd_at
 
         @pl.when(c == n_dc - 1)
         def _():
             not_unique = (s_alt < big) & (
                 s_alt * (100 - uniqueness_ratio) < sb * 100
             )
-            denom = s_m + s_p - 2 * sb
-            interior = (db > 0) & (db < D - 1) & (denom > 0)
-            frac = jnp.where(
-                interior,
-                jnp.rint(
-                    (s_m - s_p).astype(jnp.float32) * 8.0
-                    / jnp.maximum(denom, 1).astype(jnp.float32)
-                ).astype(jnp.int32),
-                0,
+            out_d[...] = _ocv_select_epilogue(
+                db, sb, not_unique, s_m, s_p, lane,
+                D=D, W=W, disp12_max_diff=disp12_max_diff,
+                min_disparity=min_disparity,
             )
-            disp16 = (db + min_disparity) * 16 + frac
-            inv_val = jnp.int32((min_disparity - 1) * 16)
-            invalid = not_unique
-            if disp12_max_diff >= 0:
-                x = lane
-                lr_bad = (jnp.abs(rd_at - db) > disp12_max_diff) & (x - db >= 0)
-                lr_bad = lr_bad | ((x - db < 0) & (db > 0))
-                invalid = invalid | lr_bad
-            out_d[...] = jnp.where(invalid, inv_val, disp16)
 
 
 def _select_kernel_1p(
@@ -178,8 +241,7 @@ def _select_kernel_1p(
 ):
     """Single-pass variant: every volume-wide quantity rides PACKED keys
     k = (value << SH) | d, so min(k) resolves value ties to the smaller d
-    — exactly the first-min rule — and the walk/argmin each cost one
-    roll/min. The far-set min (uniqueness) comes from a running TOP-4 of
+    — exactly the first-min rule. The far-set min (uniqueness) comes from a running TOP-4 of
     packed keys: at most 3 disparities are ever 'near' (d_best - 1 .. + 1),
     so the 4 smallest keys always contain an entry whose value equals the
     exact far-min (ties in value make the kept/dropped far entries
@@ -191,7 +253,7 @@ def _select_kernel_1p(
     parts = refs[:n_parts]
     out_d = refs[n_parts]
     scr = refs[n_parts + 1]      # (16, TH, Wp) int32 running planes:
-    # [0]=walk key, [1]=best key, [2..5]=top-4 keys, [6]=s_m, [7]=s_p,
+    # [1]=best key, [2..5]=top-4 keys, [6]=s_m, [7]=s_p,
     # [8]=pending (0/1), [9]=prev plane
     c = pl.program_id(1)
     n_dc = pl.num_programs(1)
@@ -203,7 +265,6 @@ def _select_kernel_1p(
         S = S + parts[k][...].astype(jnp.int32)          # (TH, DC, Wp)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (TH, Wp), 1)
-    in_w = lane < W
 
     @pl.when(c == 0)
     def _():
@@ -214,7 +275,6 @@ def _select_kernel_1p(
         scr[8] = jnp.zeros((TH, Wp), jnp.int32)
         scr[9] = jnp.zeros((TH, Wp), jnp.int32)
 
-    wk = scr[0]
     bk = scr[1]
     k1, k2, k3, k4 = scr[2], scr[3], scr[4], scr[5]
     s_m = scr[6]
@@ -226,12 +286,6 @@ def _select_kernel_1p(
         d_cur = jnp.int32(d0 + k)
         plane = S[:, k, :]
         key = (plane << SH) | d_cur
-        key_w = jnp.where(in_w, key, BIGK)
-        # diagonal walk: one lane shift + one min (BIG enters at W-1)
-        wk = jnp.minimum(
-            jnp.where(lane >= W - 1, BIGK, pltpu.roll(wk, Wp - 1, axis=1)),
-            key_w,
-        )
         # d_best -1 neighbour: the plane AFTER the best-setting step
         s_m = jnp.where(pend > 0, plane, s_m)
         take = key < bk
@@ -254,7 +308,6 @@ def _select_kernel_1p(
         hi3 = jnp.maximum(k3, hi2)
         lo4 = jnp.minimum(k4, hi3)
         k1, k2, k3, k4 = lo1, lo2, lo3, lo4
-    scr[0] = wk
     scr[1] = bk
     scr[2], scr[3], scr[4], scr[5] = k1, k2, k3, k4
     scr[6] = s_m
@@ -267,7 +320,6 @@ def _select_kernel_1p(
         dmask = jnp.int32((1 << SH) - 1)
         db = bk & dmask
         sb = bk >> SH
-        rd = wk & dmask
         # pending still set means d_best == 0: dm_i clips to 0 -> s_best
         s_m2 = jnp.where(pend > 0, sb, s_m)
         # far-set min from the top-4 (BIGK >> SH marks 'no far entry')
@@ -279,35 +331,11 @@ def _select_kernel_1p(
         not_unique = (s_alt < (BIGK >> SH)) & (
             s_alt * (100 - uniqueness_ratio) < sb * 100
         )
-        denom = s_m2 + s_p - 2 * sb
-        interior = (db > 0) & (db < D - 1) & (denom > 0)
-        frac = jnp.where(
-            interior,
-            jnp.rint(
-                (s_m2 - s_p).astype(jnp.float32) * 8.0
-                / jnp.maximum(denom, 1).astype(jnp.float32)
-            ).astype(jnp.int32),
-            0,
+        out_d[...] = _ocv_select_epilogue(
+            db, sb, not_unique, s_m2, s_p, lane,
+            D=D, W=W, disp12_max_diff=disp12_max_diff,
+            min_disparity=min_disparity,
         )
-        disp16 = (db + min_disparity) * 16 + frac
-        inv_val = jnp.int32((min_disparity - 1) * 16)
-        invalid = not_unique
-        if disp12_max_diff >= 0:
-            # rd sampled at x - d_best: D masked dynamic lane rolls on the
-            # small (TH, Wp) planes (positive shifts only; fori_loop — a
-            # static unroll put ~10 MB of roll temporaries on the stack)
-            rd_at = jax.lax.fori_loop(
-                0, D,
-                lambda d, acc: jnp.where(
-                    db == d, pltpu.roll(rd, d, axis=1), acc
-                ),
-                jnp.zeros((TH, Wp), jnp.int32),
-            )
-            x = lane
-            lr_bad = (jnp.abs(rd_at - db) > disp12_max_diff) & (x - db >= 0)
-            lr_bad = lr_bad | ((x - db < 0) & (db > 0))
-            invalid = invalid | lr_bad
-        out_d[...] = jnp.where(invalid, inv_val, disp16)
 
 
 def select_disparity_partials_pallas(

@@ -41,6 +41,13 @@ TILE_W = 128
 # tuning hooks (see sweep notes in the module docstring)
 _DBUF_DT = None      # None = int16; jnp.int32 fallback for wide ranges
 _PROBE_B = None      # offsets per pass-2 reduce trip (None = win)
+_FUSE_T1 = True      # fold the FIRST K-way probe trip into pass 1 (its mids
+                     # depend only on (dmn, width0), known before the sweep):
+                     # deletes one full (wbuf, dbuf) re-read sweep; tiles
+                     # whose disparity range fits one trip skip pass 2
+                     # entirely. The fused cums accumulate per offset while
+                     # re-read trips sum pb-blocks — knife-edge median ties
+                     # may move within the documented last-ulp class.
 _NWAY = 4            # K-way search fan-out per (wbuf, dbuf) sweep: each trip
                      # decides log2(K) binary levels from ONE re-read of the
                      # cached (w, d) pairs — bit-identical to binary (K=2;
@@ -112,6 +119,28 @@ def _wmf_kernel(
     # has_valid=False (the library default — the GIF pipeline passes no
     # participation weights) drops the valid plane's DMA, hoist shifts,
     # per-offset slice and multiply from the sweep entirely.
+    # FUSED FIRST PROBE TRIP: the first K-way trip's mids depend only on
+    # (dmn, width0), both computable from dtile BEFORE the sweep — so its
+    # NWAY-1 cums accumulate INSIDE pass 1, deleting one full
+    # (wbuf, dbuf) re-read sweep (the dominant pass-2 cost; on tiles
+    # whose disparity range fits one trip, pass 2 disappears entirely).
+    # The fused cums accumulate one offset at a time while the re-read
+    # trips sum pb-offset blocks, so knife-edge median ties can move
+    # within the documented last-ulp tolerance class.
+    if _FUSE_T1:
+        dmn = jnp.min(dtile[...])
+        dmx = jnp.max(dtile[...])
+        rng = dmx - dmn + 1
+        width0 = jax.lax.while_loop(
+            lambda w: w < rng, lambda w: w * _NWAY, jnp.int32(1)
+        )
+        w1 = width0 // _NWAY
+        mids1 = [dmn + (j + 1) * w1 - 1 for j in range(_NWAY - 1)]
+        cums1 = [
+            jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            for _ in range(_NWAY - 1)
+        ]
+
     total = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     for oy in range(win):
         for ox in range(win):
@@ -126,6 +155,12 @@ def _wmf_kernel(
             wbuf[o] = w
             dbuf[o] = dq.astype(dbuf.dtype)
             total = total + w
+            if _FUSE_T1:
+                dq32 = dq.astype(jnp.int32)
+                cums1 = [
+                    c + jnp.where(dq32 <= mid, w, 0.0)
+                    for c, mid in zip(cums1, mids1)
+                ]
     half = total * 0.5
 
     # lower_bound over the monotone cum(b): smallest b with cum(b) >= half.
@@ -147,16 +182,15 @@ def _wmf_kernel(
     # (each trip: 1 read serves log2(NWAY) decisions). Monotonicity of
     # same-order float sums of pointwise-dominated terms (w >= 0) makes
     # the quadrant count sum_j [cum_j < half] reproduce the binary path.
-    dmn = jnp.min(dtile[...])
-    dmx = jnp.max(dtile[...])
-    rng = dmx - dmn + 1
-
-    def w0_body(w):
-        return w * _NWAY
-
-    # width0 = NWAY^k >= rng, so every K-way trip divides evenly and the
-    # final width hits exactly 1
-    width0 = jax.lax.while_loop(lambda w: w < rng, w0_body, jnp.int32(1))
+    if not _FUSE_T1:
+        dmn = jnp.min(dtile[...])
+        dmx = jnp.max(dtile[...])
+        rng = dmx - dmn + 1
+        # width0 = NWAY^k >= rng, so every K-way trip divides evenly and
+        # the final width hits exactly 1
+        width0 = jax.lax.while_loop(
+            lambda w: w < rng, lambda w: w * _NWAY, jnp.int32(1)
+        )
 
     pb = _PROBE_B or win
     nb = (win * win) // pb
@@ -192,10 +226,17 @@ def _wmf_kernel(
             step = step + jnp.where(c < half, width, 0)
         return width, ans + step
 
-    _, ans = jax.lax.while_loop(
-        lambda c: c[0] > 1, probe_body,
-        (width0, jnp.full((TILE_H, TILE_W), dmn, jnp.int32)),
-    )
+    if _FUSE_T1:
+        # consume the fused first trip: same quadrant-count step as
+        # probe_body, then continue the descent from (w1, ans1)
+        ans0 = jnp.full((TILE_H, TILE_W), dmn, jnp.int32)
+        step = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+        for c in cums1:
+            step = step + jnp.where(c < half, w1, 0)
+        carry0 = (w1, ans0 + step)
+    else:
+        carry0 = (width0, jnp.full((TILE_H, TILE_W), dmn, jnp.int32))
+    _, ans = jax.lax.while_loop(lambda c: c[0] > 1, probe_body, carry0)
 
     ans = jnp.clip(ans, 0, n_bins - 1)
     if has_valid:

@@ -6,8 +6,9 @@ fixed-point rescale for display (src/StereoMatch.cpp:169-187), runtime
 toggle from the GIF path (src/main.cpp:160-169).
 
 The whole forward is one jit-compiled integer pipeline:
-prefilter -> BT pixel cost -> 5x5 block sum -> 8-direction scan
-aggregation -> WTA/uniqueness/sub-pixel/LR-check -> speckle filter.
+prefilter (clipped [1,2,1]-smoothed Sobel-x) -> BT pixel cost -> 5x5
+block sum -> 8-direction scan aggregation -> WTA/uniqueness/sub-pixel/
+scatter-LR-check (cv::StereoSGBM selection semantics) -> speckle filter.
 """
 
 from __future__ import annotations
@@ -22,9 +23,9 @@ from primestereomatch_tpu.ops.sgbm import (
     DISP_SCALE,
     aggregate,
     bt_block_cost,
-    clipped_xderiv,
     filter_speckles,
     select_disparity_hdw,
+    sobel_xclip,
 )
 
 
@@ -41,8 +42,10 @@ def stereo_sgbm_forward(
         raise ValueError(
             f"expected matching (H, W, C) images, got {l_img_u8.shape} vs {r_img_u8.shape}"
         )
-    l_ftr = clipped_xderiv(l_img_u8, cfg.pre_filter_cap)
-    r_ftr = clipped_xderiv(r_img_u8, cfg.pre_filter_cap)
+    # cv::StereoSGBM's prefilter: [1,2,1]-smoothed clipped Sobel-x
+    # (ops/sgbm.py::sobel_xclip — raises cv2 argmin agreement 86% -> 95%)
+    l_ftr = sobel_xclip(l_img_u8, cfg.pre_filter_cap)
+    r_ftr = sobel_xclip(r_img_u8, cfg.pre_filter_cap)
 
     # static value bound on the window cost (BT cost per channel is at most
     # 2*cap since features live in [0, 2*cap]) — lets the aggregation scans

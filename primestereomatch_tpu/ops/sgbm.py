@@ -46,8 +46,8 @@ DISP_SCALE = 16  # OpenCV StereoMatcher::DISP_SCALE fixed-point factor
 
 def clipped_xderiv(img_u8: jax.Array, cap: int) -> jax.Array:
     """Per-channel horizontal central difference clipped to [-cap, cap],
-    shifted to [0, 2*cap] (the SGBM prefilter; preFilterCap=63 at the
-    reference call site src/StereoMatch.cpp:652).
+    shifted to [0, 2*cap] (a simplified prefilter variant; the pipeline
+    default is `sobel_xclip`, which matches cv::StereoSGBM).
 
     img_u8: (H, W, C) uint8. Returns (H, W, C) int32. Border columns use
     replicated pixels (derivative -> one-sided difference contribution).
@@ -57,6 +57,43 @@ def clipped_xderiv(img_u8: jax.Array, cap: int) -> jax.Array:
     right = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
     d = right - left
     return jnp.clip(d, -cap, cap) + cap
+
+
+def sobel_xclip(img_u8: jax.Array, cap: int) -> jax.Array:
+    """cv::StereoSGBM prefilter (the reference's actual component,
+    src/StereoMatch.cpp:180/652): per-channel x-Sobel with [1,2,1]
+    vertical smoothing, clipped to [-cap, cap], shifted to [0, 2*cap] —
+    2*(I[y][x+1]-I[y][x-1]) + the same difference on rows y-1/y+1, with
+    replicated borders. Empirically this is the cost function cv2 uses:
+    switching from the plain central difference raised raw-argmin
+    agreement with cv2.StereoSGBM on Teddy from 86% to 95% (and
+    end-to-end %BP to within ~0.6 of cv2 — tests/test_sgbm_cv2_golden).
+
+    img_u8: (H, W, C) uint8. Returns (H, W, C) int32 in [0, 2*cap].
+    """
+    x = img_u8.astype(jnp.int32)
+    left = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+    right = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+    d = right - left
+    up = jnp.concatenate([d[:1], d[:-1]], axis=0)
+    dn = jnp.concatenate([d[1:], d[-1:]], axis=0)
+    sob = 2 * d + up + dn
+    return jnp.clip(sob, -cap, cap) + cap
+
+
+def _trunc_div(num: jax.Array, den: jax.Array) -> jax.Array:
+    """C-style truncating integer division (lax.div rounds toward zero)."""
+    return lax.div(num, den)
+
+
+def _subpixel_frac(s_m, s_p, s_best, d_best, D):
+    """OpenCV's integer sub-pixel refinement (computeDisparitySGBM):
+    frac = trunc(((S[d-1] - S[d+1]) * 16 + denom2) / (2 * denom2)) with
+    denom2 = max(curvature, 1); 0 at the d range ends."""
+    interior = (d_best > 0) & (d_best < D - 1)
+    denom2 = jnp.maximum(s_m + s_p - 2 * s_best, 1)
+    num = (s_m - s_p) * DISP_SCALE + denom2
+    return jnp.where(interior, _trunc_div(num, 2 * denom2), 0)
 
 
 def _bt_cost_1d(l_ftr: jax.Array, r_ftr: jax.Array, max_dis: int) -> jax.Array:
@@ -423,19 +460,53 @@ def aggregate(
     return S
 
 
+def _lr_dual_check(disp16, disp2, inv_val, disp12_max_diff, min_disparity):
+    """OpenCV's floor/ceil dual LR check: invalidate a valid pixel only if
+    BOTH rounded disparities look up a VALID disp2 entry that is
+    inconsistent. disp2 holds actual disparities (invalid = minD - 1)."""
+    H, W = disp16.shape
+    x = jnp.arange(W)[None, :]
+    valid = disp16 != inv_val
+    d_f = jnp.right_shift(disp16, 4)
+    d_c = jnp.right_shift(disp16 + DISP_SCALE - 1, 4)
+
+    def look(dd):
+        xi = x - dd
+        ok = (xi >= 0) & (xi < W)
+        v = jnp.take_along_axis(disp2, jnp.clip(xi, 0, W - 1), axis=1)
+        return ok & (v >= min_disparity), v
+
+    okf, vf = look(d_f)
+    okc, vc = look(d_c)
+    lr_bad = (
+        valid
+        & okf & (jnp.abs(vf - d_f) > disp12_max_diff)
+        & okc & (jnp.abs(vc - d_c) > disp12_max_diff)
+    )
+    if disp12_max_diff < 0:
+        return disp16
+    return jnp.where(lr_bad, inv_val, disp16)
+
+
 def select_disparity(
     S: jax.Array,              # (H, W, D) int32 aggregated cost
     uniqueness_ratio: int,
     disp12_max_diff: int,
     min_disparity: int = 0,
 ) -> jax.Array:
-    """WTA + uniqueness + sub-pixel + left-right consistency.
+    """WTA + uniqueness + sub-pixel + left-right consistency with
+    cv::StereoSGBM's semantics (see tests/oracle_sgbm.py::select_disparity
+    for the loop-form spec): scatter-based pseudo right disparity, dual
+    floor/ceil LR check, integer truncating sub-pixel, minX band.
 
     Returns int16 disparity scaled by DISP_SCALE=16; invalid pixels get
     (min_disparity - 1) * 16 (the OpenCV convention the reference rescales
     for display, src/StereoMatch.cpp:181-186).
     """
     H, W, D = S.shape
+    minD = min_disparity
+    minX1 = max(minD + D, 0)
+    maxX1 = W + min(minD, 0)
     d_best = jnp.argmin(S, axis=-1)                      # (H, W)
     s_best = jnp.min(S, axis=-1)
 
@@ -446,48 +517,45 @@ def select_disparity(
     close_cost = S * (100 - uniqueness_ratio) < s_best[..., None] * 100
     not_unique = jnp.any(far & close_cost, axis=-1)
 
-    # sub-pixel: parabola through (d-1, d, d+1).
-    # TPU-first: the neighbour costs come from masked reductions over the
-    # (small) d axis, not per-pixel gathers — gathers serialize on the
-    # scatter/gather unit while a select+reduce is pure VPU work.
+    # sub-pixel neighbour costs via masked reductions (no gathers)
     is_m = d_idx == jnp.clip(d_best - 1, 0, D - 1)[..., None]
     is_p = d_idx == jnp.clip(d_best + 1, 0, D - 1)[..., None]
     s_m = jnp.min(jnp.where(is_m, S, _BIG), axis=-1)
     s_p = jnp.min(jnp.where(is_p, S, _BIG), axis=-1)
-    denom = s_m + s_p - 2 * s_best
-    interior = (d_best > 0) & (d_best < D - 1) & (denom > 0)
-    frac = jnp.where(
-        interior,
-        jnp.rint(
-            (s_m - s_p).astype(jnp.float32) * (DISP_SCALE // 2)
-            / jnp.maximum(denom, 1).astype(jnp.float32)
-        ).astype(jnp.int32),
-        0,
-    )
-    disp16 = (d_best.astype(jnp.int32) + min_disparity) * DISP_SCALE + frac
+    frac = _subpixel_frac(s_m, s_p, s_best, d_best, D)
+    disp16 = (d_best.astype(jnp.int32) + minD) * DISP_SCALE + frac
 
-    # left-right check: right disparity rd(y, xr) = argmin_d S(y, xr+d, d)
-    # — a diagonal extraction, built from D static column shifts (fused
-    # slice math) instead of a (H, W, D) gather
-    diag = []
-    for d in range(D):
-        sl = S[:, d:, d]
-        diag.append(jnp.pad(sl, ((0, 0), (0, d)), constant_values=_BIG))
-    S_r = jnp.stack(diag, axis=-1)
-    rd = jnp.argmin(S_r, axis=-1)                        # (H, W)
-
-    # rd sampled at x - d_best: D static shifts selected by d_best
     x = jnp.arange(W)[None, :]
-    rd_at = jnp.zeros_like(rd)
-    for d in range(D):
-        rd_shift = jnp.pad(rd[:, : W - d], ((0, 0), (d, 0)))  # rd[x - d]
-        rd_at = jnp.where(d_best == d, rd_shift, rd_at)
-    lr_bad = (jnp.abs(rd_at - d_best) > disp12_max_diff) & (x - d_best >= 0)
-    lr_bad = lr_bad | ((x - d_best < 0) & (d_best > 0))
+    in_range = (x >= minX1) & (x < maxX1)
+    valid0 = in_range & ~not_unique
+    inv_val = jnp.int32((minD - 1) * DISP_SCALE)
+    disp16 = jnp.where(valid0, disp16, inv_val)
 
-    invalid = not_unique | (lr_bad if disp12_max_diff >= 0 else False)
-    inv_val = jnp.int32((min_disparity - 1) * DISP_SCALE)
-    return jnp.where(invalid, inv_val, disp16).astype(jnp.int16)
+    # pseudo right disparity by scatter: right pixel xr = x - (d + minD)
+    # takes the lowest s_best among unique left pixels whose d_best == d;
+    # ascending d with strict < keeps the earliest x on ties (the order
+    # OpenCV's ascending-x scatter loop produces)
+    cand = jnp.where(valid0, s_best, _BIG)
+    d2cost = jnp.full((H, W), _BIG, jnp.int32)
+    disp2 = jnp.full((H, W), minD - 1, jnp.int32)
+
+    def shift_left(a, sh, fill):
+        if sh == 0:
+            return a
+        if sh > 0:
+            return jnp.pad(a[:, sh:], ((0, 0), (0, sh)), constant_values=fill)
+        return jnp.pad(a[:, :sh], ((0, 0), (-sh, 0)), constant_values=fill)
+
+    for d in range(D):
+        cd = jnp.where(d_best == d, cand, _BIG)
+        cd = shift_left(cd, d + minD, _BIG)
+        take = cd < d2cost
+        d2cost = jnp.where(take, cd, d2cost)
+        disp2 = jnp.where(take, d + minD, disp2)
+
+    return _lr_dual_check(
+        disp16, disp2, inv_val, disp12_max_diff, minD
+    ).astype(jnp.int16)
 
 
 def select_disparity_hdw(
@@ -499,51 +567,37 @@ def select_disparity_hdw(
     """`select_disparity` for (H, D, W) layout — bit-identical results.
 
     W stays on lanes throughout: the d-axis reductions run over sublanes
-    at full lane occupancy, and the right-view diagonal argmin
-    rd(y, xr) = argmin_d S(y, d, xr + d) is a running (min, argmin) over
-    D static LANE shifts of (H, W) planes — no (H, W, D) diagonal volume
-    is ever materialized (the hwd form stacks one: +2.8 GB at 2K/d=256,
-    and its S[:, d:, d] slices stride across lanes).
+    at full lane occupancy. The volume is streamed ONCE through a chunked
+    fori_loop producing (d_best, s_best, far-min, sub-pixel neighbours);
+    the pseudo right disparity then comes from a D-step walk over SMALL
+    (H, W) planes only — the scatter disp2[x - d_best] = min s_best is
+    expressed as a descending-d running pair that shifts one lane per
+    step (the transition xr + d -> xr + d - 1 is a single left shift),
+    with `<=` making the LOWER d win ties exactly like OpenCV's
+    ascending-x first-write-strict-> scatter order.
     """
     H, D, W = S.shape
+    minD = min_disparity
+    minX1 = max(minD + D, 0)
+    maxX1 = W + min(minD, 0)
     d_best = jnp.argmin(S, axis=1)                       # (H, W)
     s_best = jnp.min(S, axis=1)
 
-    # Everything else the selection needs from the volume — the
-    # best-excluding-neighbours cost (uniqueness), the two sub-pixel
-    # neighbour costs, and the right-view diagonal argmin — comes out of
-    # ONE more chunked pass over S (the naive forms each re-read the
-    # 2.8 GB volume at 2K/d=256).
-    #
-    # rd(y, xr) = argmin_d S(y, d, xr + d), lowest d on ties. Rather than
-    # realigning every (H, W) cost plane by its own d (a per-plane lane
-    # rotate — ~37 ms of relayout at 2K), keep S unshifted and walk the
-    # diagonal by shifting the SMALL running (min, arg) pair one lane per
-    # d step: descending d, the running pair lives at lane x = xr + d, so
-    # the d -> d-1 transition is a single left shift (new[x] = old[x+1],
-    # BIG shifted in at the right edge), after which S[:, d-1, :]
-    # compares directly. `<=` makes the lower d win ties — identical to
-    # the ascending strict-< first-min rule. Chunked fori_loop: 16 planes
-    # per trip fuse into one kernel, so the running planes re-stream HBM
-    # D/16 times, not D times.
+    # ONE chunked pass over S for the far-set min (uniqueness) and the
+    # exact d_best -/+ 1 neighbour costs (the naive forms each re-read
+    # the 2.8 GB volume at 2K/d=256). 16 planes per trip fuse into one
+    # kernel, so the running planes re-stream HBM D/16 times, not D times.
     DCs = max(c for c in range(1, min(16, D) + 1) if D % c == 0)
     dm_i = jnp.clip(d_best - 1, 0, D - 1)
     dp_i = jnp.clip(d_best + 1, 0, D - 1)
 
     def _trip(t, carry):
-        m, a, s_alt, s_m, s_p = carry
-        c0 = D - (t + 1) * DCs
+        s_alt, s_m, s_p = carry
+        c0 = t * DCs
         blk = jax.lax.dynamic_slice_in_dim(S, c0, DCs, axis=1)
-        for k in range(DCs - 1, -1, -1):
+        for k in range(DCs):
             plane = blk[:, k, :]
             d_cur = c0 + k
-            # diagonal running pair (shifted coordinates)
-            m = jnp.pad(m[:, 1:], ((0, 0), (0, 1)), constant_values=_BIG)
-            a = jnp.pad(a[:, 1:], ((0, 0), (0, 1)))
-            take = plane <= m
-            m = jnp.where(take, plane, m)
-            a = jnp.where(take, d_cur, a)
-            # unshifted reductions off the same loaded plane:
             # min over |d - d_best| > 1 (uniqueness), and the exact
             # d_best -/+ 1 neighbour costs (clipped-index equality selects
             # match exactly once, so overwrite == the masked min)
@@ -551,12 +605,11 @@ def select_disparity_hdw(
             s_alt = jnp.where(far, jnp.minimum(s_alt, plane), s_alt)
             s_m = jnp.where(d_cur == dm_i, plane, s_m)
             s_p = jnp.where(d_cur == dp_i, plane, s_p)
-        return m, a, s_alt, s_m, s_p
+        return s_alt, s_m, s_p
 
     big2 = jnp.full((H, W), _BIG, jnp.int32)
-    zero = jnp.zeros((H, W), jnp.int32)
-    run_min, rd, s_alt, s_m, s_p = jax.lax.fori_loop(
-        0, D // DCs, _trip, (big2, zero, big2, big2, big2)
+    s_alt, s_m, s_p = jax.lax.fori_loop(
+        0, D // DCs, _trip, (big2, big2, big2)
     )
 
     # any_d [far & S_d*(100-u) < s_best*100] == s_alt*(100-u) < s_best*100
@@ -567,35 +620,43 @@ def select_disparity_hdw(
         s_alt * (100 - uniqueness_ratio) < s_best * 100
     )
 
-    denom = s_m + s_p - 2 * s_best
-    interior = (d_best > 0) & (d_best < D - 1) & (denom > 0)
-    frac = jnp.where(
-        interior,
-        jnp.rint(
-            (s_m - s_p).astype(jnp.float32) * (DISP_SCALE // 2)
-            / jnp.maximum(denom, 1).astype(jnp.float32)
-        ).astype(jnp.int32),
-        0,
-    )
-    disp16 = (d_best.astype(jnp.int32) + min_disparity) * DISP_SCALE + frac
+    frac = _subpixel_frac(s_m, s_p, s_best, d_best, D)
+    disp16 = (d_best.astype(jnp.int32) + minD) * DISP_SCALE + frac
 
-    # rd sampled at x - d_best: an exact per-row gather of the SMALL
-    # (H, W) rd plane. (A log-step barrel shift cannot express this —
-    # after one step the data at the source lane was shifted under THAT
-    # lane's d_best bits, so composed shifts are only right where d_best
-    # is locally constant. The gather is ~HW int32 elements, negligible
-    # next to the volume passes above.) Lanes with x - d_best < 0 read
-    # the clipped column; they are masked by the lr_bad edge terms below.
     x = jnp.arange(W)[None, :]
-    rd_at = jnp.take_along_axis(
-        rd, jnp.clip(x - d_best, 0, W - 1), axis=1
-    )
-    lr_bad = (jnp.abs(rd_at - d_best) > disp12_max_diff) & (x - d_best >= 0)
-    lr_bad = lr_bad | ((x - d_best < 0) & (d_best > 0))
+    in_range = (x >= minX1) & (x < maxX1)
+    valid0 = in_range & ~not_unique
+    inv_val = jnp.int32((minD - 1) * DISP_SCALE)
+    disp16 = jnp.where(valid0, disp16, inv_val)
 
-    invalid = not_unique | (lr_bad if disp12_max_diff >= 0 else False)
-    inv_val = jnp.int32((min_disparity - 1) * DISP_SCALE)
-    return jnp.where(invalid, inv_val, disp16).astype(jnp.int16)
+    # disp2 walk on (H, W) planes: descending d, running (cost, d) pair
+    # in the shifted frame x = xr + d; each d -> d-1 transition is one
+    # left shift (BIG entering at the right edge)
+    cand = jnp.where(valid0, s_best, _BIG)
+
+    def _wstep(t, carry):
+        m2, a2 = carry
+        d = D - 1 - t
+        m2 = jnp.pad(m2[:, 1:], ((0, 0), (0, 1)), constant_values=_BIG)
+        a2 = jnp.pad(a2[:, 1:], ((0, 0), (0, 1)))
+        sel = jnp.where(d_best == d, cand, _BIG)
+        take = sel <= m2                   # later (smaller) d wins ties
+        return jnp.where(take, sel, m2), jnp.where(take, d, a2)
+
+    m2, a2 = jax.lax.fori_loop(
+        0, D, _wstep, (big2, jnp.zeros((H, W), jnp.int32))
+    )
+    if minD > 0:       # frame at d=0 is xr + minD: one more static shift
+        m2 = jnp.pad(m2[:, minD:], ((0, 0), (0, minD)), constant_values=_BIG)
+        a2 = jnp.pad(a2[:, minD:], ((0, 0), (0, minD)))
+    elif minD < 0:
+        m2 = jnp.pad(m2[:, :minD], ((0, 0), (-minD, 0)), constant_values=_BIG)
+        a2 = jnp.pad(a2[:, :minD], ((0, 0), (-minD, 0)))
+    disp2 = jnp.where(m2 < _BIG, a2 + minD, minD - 1)
+
+    return _lr_dual_check(
+        disp16, disp2, inv_val, disp12_max_diff, minD
+    ).astype(jnp.int16)
 
 
 def filter_speckles(

@@ -13,13 +13,20 @@ Two roofline columns per kernel:
   * HBM:  achieved bandwidth = (exact modeled DMA bytes) / (measured
     time) vs the v5e ~819 GB/s peak. xprof carries no byte counters for
     custom calls, so the byte models below mirror the kernel planners.
-  * VPU:  achieved elementwise vector ops/s = (modeled vector op count)
-    / (measured time) vs the MEASURED f32 VPU peak (scripts/vpu_peak.py,
-    cached in VPU_PEAK.json). Op models count per-element VPU
-    instructions from the kernel source (FMA = 2); MXU matmuls, DMA
-    waits and relayouts are excluded, so %VPU is the fraction of the
-    kernel's wall spent doing irreducible vector math — the headroom
-    indicator the "VPU-bound" label used to hide.
+  * VPU:  %VPU = (mix-calibrated model time) / (measured time). The
+    round-4 single-FMA peak left rows reading >100% — a kernel cannot
+    exceed peak, so the accounting was wrong: the VPU multi-issues
+    simple ops (measured cmp+sel+mul step == one FMA step) and exp costs
+    ~1.5 FMA-ops, not the ~8 the old model charged. Round 5 measures
+    per-mix issue rates with micro-kernels (scripts/vpu_peak.py: fma
+    2.7, pure-add 2.0, cmp/sel 4.0, int 4.4 T counted-ops/s; the WMF
+    weight step verbatim at 0.42 G-steps/s) and models each kernel's
+    MINIMUM time from its own primitive mix — %VPU <= 100 by
+    construction up to model error. Error band: the micro-kernels have
+    perfect ILP and no per-offset shifts/loads, so the model time is a
+    LOWER bound and %VPU a lower bound on true utilization (~10-20%
+    optimistic for shift-heavy inner loops). Gops still reports the raw
+    counted ops (FMA = 2, exp = 1) for continuity.
 
 Usage: python scripts/kernel_roofline.py [--update-scaling-md]
 """
@@ -124,63 +131,100 @@ def sgbm_kernel_bytes(H, W, D):
 
 
 # ---------------------------------------------------------------------------
-# vector-op models: per-element VPU instructions counted from the kernel
-# sources (FMA = 2 ops — the same accounting scripts/vpu_peak.py measures
-# the peak with). MXU matmuls, transposes/relayouts and DMA are excluded.
+# vector-op models: raw per-element counts from the kernel sources
+# (FMA = 2 ops, exp = 1) PLUS a mix-calibrated minimum-time model using
+# the measured per-primitive issue rates (scripts/vpu_peak.py mixes).
+# MXU matmuls, transposes/relayouts and DMA are excluded. Each model
+# returns {row: (raw_ops, model_time_s)}.
 # ---------------------------------------------------------------------------
 
+def _mix_rates():
+    from scripts.vpu_peak import mix_data
+
+    m = mix_data()["mixes"]
+    return {
+        "fma": m["fma"]["ops_per_s"],           # mul/add pairs, 2 per FMA
+        "add": m["add"]["ops_per_s"],           # dependent single adds
+        "simple": m["cmpsel"]["ops_per_s"],     # cmp/sel/mul multi-issue
+        "int": m["int_minadd"]["ops_per_s"],    # int add/min/mul
+        "wmfw_steps": m["wmf_weight"]["steps_per_s"],  # WMF weight step
+    }
+
+
 def gif_kernel_vops(H, W, D, s=4, wmf_radius=9, n_bins=None):
-    """Modeled VPU op counts per frame (both views) for the GIF kernels."""
+    """GIF kernels: {row: (raw counted ops, calibrated min time s)}."""
     from primestereomatch_tpu.kernels.wta_pallas import poly_col_params
     from primestereomatch_tpu.ops.resize import nearest_indices
 
+    r = _mix_rates()
     n_bins = n_bins or D
     w = len(nearest_indices(W, W // s))
     pp = poly_col_params(w, W)
     out = {}
     if pp is not None:
         # _wta_kernel_poly per (d, output px):
-        #   masked tap mode: 4 guide combines (3 mul + 3 add each) = 24,
-        #   4 tap selects, lerp (2 mul + 1 add) = 3, chunk min + argmin
-        #   passes ~3  -> ~34 (d0 poison: no per-chunk inf mask)
-        #   exact-static mode: 2 combines = 12, no selects -> ~18
-        per_d = 18.0 if pp["exact"] else 34.0
-        out["wta poly (2 views)"] = 2 * H * W * D * per_d
-    # _wmf_kernel per px: pass 1 per window offset: 3 sub + 3 mul + 2 add
-    # (color dist) + exp ~8 + mul-valid + acc = 18; pass 2 per probe per
-    # offset: convert + cmp + select + acc = 4, probes <= log2(n_bins)
-    # (the bounded search usually does fewer -> %VPU is a lower bound).
+        #   exact-static mode: 2 guide combines (3 FMA + 1 add each -> 14
+        #   counted, FMA-rate) + lerp (3, FMA-rate) + chunk min/argmin
+        #   fold (~3 simple);  masked mode adds 2 more combines + 4 tap
+        #   selects (simple)
+        n = 2 * H * W * D
+        if pp["exact"]:
+            raw = n * 18.0
+            t = n * (15.0 / r["fma"] + 3.0 / r["simple"])
+        else:
+            raw = n * 34.0
+            t = n * (15.0 / r["fma"] + 19.0 / r["simple"])
+        out["wta poly (2 views)"] = (raw, t)
+    # _wmf_kernel per px: pass 1 per window offset is EXACTLY the
+    # measured wmf_weight micro-step (3 sub, 3 FMA-ish, exp, weighted
+    # acc — 12 counted with exp = 1); pass 2 per probe per offset:
+    # convert + cmp + select + acc = 4 simple, probes <= log2(n_bins)
+    # (the bounded search usually does fewer -> model time is a floor).
     win = 2 * wmf_radius + 1
     probes = float(np.ceil(np.log2(max(n_bins, 2))))
-    out["joint WMF (2 views)"] = 2 * H * W * (win * win * (18 + probes * 4))
-    # cvc_lowmaps: per (d, low px): pair cost ~ 4 sub + 4 abs + 3 add +
-    # 2 min + 2 mul + 1 add + mask select ~ 17, then the box/solve/box
-    # maps chain ~ 60 ops per (d, low px) on the k=5 window scans
-    # (2 box passes x 2 axes x ~5 adds + 3x3 solve ~ 24) — coarse model.
+    n_off = 2 * H * W * win * win
+    out["joint WMF (2 views)"] = (
+        n_off * (12 + probes * 4),
+        n_off * (1.0 / r["wmfw_steps"] + probes * 4 / r["simple"]),
+    )
+    # cvc_lowmaps per (d, low px): pair cost ~17 (abs/min/sel — simple),
+    # then the box/solve/box chain ~60: ~45 dependent box adds (add-rate)
+    # + ~15 solve FMAs
     h, wl = H // s, W // s
-    out["cvc_lowmaps (2 views)"] = 2 * D * h * wl * (17 + 60)
-    out["lowmaps (2 views)"] = 2 * D * h * wl * 60
+    n = 2 * D * h * wl
+    chain_t = 45.0 / r["add"] + 15.0 / r["fma"]
+    out["cvc_lowmaps (2 views)"] = (n * 77.0, n * (17.0 / r["simple"] + chain_t))
+    out["lowmaps (2 views)"] = (n * 60.0, n * chain_t)
     return out
 
 
 def sgbm_kernel_vops(H, W, D):
-    """Modeled VPU op counts per frame for the SGBM Pallas kernels,
-    counted from the kernel sources (rolls/relayouts counted as one op
-    per element moved)."""
+    """SGBM kernels: {row: (raw counted ops, calibrated min time s)} —
+    integer pipelines, modeled at the measured int-mix issue rate
+    (rolls/relayouts counted as one op per element moved)."""
+    r = _mix_rates()
     out = {}
     # _bt_cost_kernel per (d, px): the 9-plane lane roll (9), BT math
     # c1/c2/m3/pc over 3 channels (3 x (4 max/min + 2 sub) + 2 adds =
     # 20), edge patches (2), vertical 5-tap sum (4), horizontal sum
     # (2 rolls + 2 selects + 4 adds = 8), store cast (1) ~ 44
-    out["bt block cost"] = float(H) * W * D * 44
+    out["bt block cost"] = (
+        float(H) * W * D * 44, float(H) * W * D * 44 / r["int"]
+    )
     # _sgbm_scan_kernel per (d, px, lane): min-reduce share (~1), d+-1
     # sublane rolls + masks (6), 3-way min chain + p-adds (5), L update
-    # + casts (4), group-sum add (1) ~ 17; 8 directions = 8 lane-passes
-    out["aggregation scans"] = float(H) * W * D * 8 * 17
+    # + casts (4), group-sum add (1) ~ 17; 8 directions = 8 lane-passes.
+    # NOTE the scans' 3-way min chain is latency-chained (the recurrence),
+    # so the int-mix rate (16 independent chains) overestimates a bit.
+    out["aggregation scans"] = (
+        float(H) * W * D * 8 * 17, float(H) * W * D * 8 * 17 / r["int"]
+    )
     # _select_kernel_1p per (d, px): partial adds (2), key pack (2),
-    # walk roll+where+min (3), s_m/s_p/pend selects (3), best cmp+min
-    # (2), top-4 insertion network (8) ~ 20
-    out["select (partials)"] = float(H) * W * D * 20
+    # s_m/s_p/pend selects (3), best cmp+min (2), top-4 insertion
+    # network (8) ~ 17, plus the OCV epilogue walk/lookups ~5/D' per px
+    out["select (partials)"] = (
+        float(H) * W * D * 17, float(H) * W * D * 17 / r["int"]
+    )
     return out
 
 
@@ -317,8 +361,9 @@ def run(update_scaling_md=False):
                 hbm_s = f"— | {gbps:.0f} (xprof) | {100 * gbps / HBM_PEAK:.0f}%"
                 hbm_frac = gbps / HBM_PEAK
             if gname in vop_models and vpu_peak:
-                gops = vop_models[gname] / 1e9
-                vfrac = (vop_models[gname] / (ms / 1e3)) / vpu_peak
+                raw_ops, model_t = vop_models[gname]
+                gops = raw_ops / 1e9
+                vfrac = model_t / (ms / 1e3)
                 vpu_s = f"{gops:.1f} | {100 * vfrac:.0f}%"
             else:
                 vfrac = 0.0

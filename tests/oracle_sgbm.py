@@ -139,53 +139,68 @@ def aggregate(C: np.ndarray, p1: int, p2: int, num_directions: int = 8) -> np.nd
 def select_disparity(
     S: np.ndarray, uniqueness_ratio: int, disp12_max_diff: int, min_disparity: int = 0
 ) -> np.ndarray:
+    """cv::StereoSGBM selection semantics (computeDisparitySGBM):
+
+      * first-min WTA + uniqueness (any far d with S[d]*(100-u) < minS*100);
+      * integer truncating sub-pixel: frac = trunc(((S[d-1]-S[d+1])*16 +
+        denom2) / (2*denom2)), denom2 = max(curvature, 1);
+      * pseudo right disparity by SCATTER: each unique left pixel x offers
+        (minS, d) to right pixel x - (d + minD); lowest cost wins, ties to
+        the earliest x (= lowest d); unscattered right pixels stay invalid;
+      * LR dual check: a valid pixel is invalidated only if BOTH the
+        floor- and ceil-rounded disparities look up a VALID disp2 entry
+        that is inconsistent (> disp12_max_diff);
+      * the left band x < minX1 = max(minD + D, 0) (and x >= maxX1 =
+        W + min(minD, 0)) is invalid outright.
+    """
     H, W, D = S.shape
-    out = np.zeros((H, W), np.int16)
     inv = (min_disparity - 1) * DISP_SCALE
-
-    # right disparity via gathered argmin
-    rd = np.zeros((H, W), np.int64)
-    for y in range(H):
-        for xr in range(W):
-            best, bd = None, 0
-            for d in range(D):
-                if xr + d >= W:
-                    break
-                v = S[y, xr + d, d]
-                if best is None or v < best:
-                    best, bd = v, d
-            rd[y, xr] = bd
+    minD = min_disparity
+    minX1 = max(minD + D, 0)
+    maxX1 = W + min(minD, 0)
+    out = np.full((H, W), inv, np.int64)
+    disp2 = np.full((H, W), minD - 1, np.int64)
+    d2cost = np.full((H, W), 1 << 40, np.int64)
 
     for y in range(H):
-        for x in range(W):
+        for x in range(minX1, maxX1):
             s = S[y, x]
             d = int(np.argmin(s))
-            sb = s[d]
+            sb = int(s[d])
             bad = False
             for dd in range(D):
                 if abs(dd - d) > 1 and s[dd] * (100 - uniqueness_ratio) < sb * 100:
                     bad = True
                     break
-            if not bad and disp12_max_diff >= 0:
-                if x - d < 0:
-                    if d > 0:
-                        bad = True
-                elif abs(rd[y, x - d] - d) > disp12_max_diff:
-                    bad = True
             if bad:
-                out[y, x] = inv
                 continue
+            x2 = x - (d + minD)
+            if 0 <= x2 < W and d2cost[y, x2] > sb:
+                d2cost[y, x2] = sb
+                disp2[y, x2] = d + minD
             frac = 0
             if 0 < d < D - 1:
-                denom = s[d - 1] + s[d + 1] - 2 * sb
-                if denom > 0:
-                    # float32 to mirror the device math exactly
-                    frac = int(np.rint(
-                        np.float32(s[d - 1] - s[d + 1]) * np.float32(DISP_SCALE // 2)
-                        / np.float32(denom)
-                    ))
-            out[y, x] = (d + min_disparity) * DISP_SCALE + frac
-    return out
+                denom2 = max(int(s[d - 1]) + int(s[d + 1]) - 2 * sb, 1)
+                num = (int(s[d - 1]) - int(s[d + 1])) * DISP_SCALE + denom2
+                frac = int(num / (2 * denom2))   # C truncating division
+            out[y, x] = (d + minD) * DISP_SCALE + frac
+
+        for x in range(minX1, maxX1):
+            d1 = out[y, x]
+            if d1 == inv:
+                continue
+            d_f = int(d1) >> 4                       # floor
+            d_c = (int(d1) + DISP_SCALE - 1) >> 4    # ceil
+            xf, xc = x - d_f, x - d_c
+            if (
+                0 <= xf < W and disp2[y, xf] >= minD
+                and abs(disp2[y, xf] - d_f) > disp12_max_diff
+                and 0 <= xc < W and disp2[y, xc] >= minD
+                and abs(disp2[y, xc] - d_c) > disp12_max_diff
+                and disp12_max_diff >= 0
+            ):
+                out[y, x] = inv
+    return out.astype(np.int16)
 
 
 def filter_speckles(

@@ -38,6 +38,13 @@ def test_clipped_xderiv(pair):
     np.testing.assert_array_equal(got, want)
 
 
+def test_sobel_xclip(pair):
+    l, _ = pair
+    got = np.asarray(ops.sobel_xclip(jnp.asarray(l), CAP))
+    want = oracle.sobel_xclip(l, CAP)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_bt_cost(pair):
     l, r = pair
     lf = oracle.clipped_xderiv(l, CAP)
@@ -266,8 +273,8 @@ def test_end_to_end_oracle(pair):
         speckle_window_size=10, speckle_range=2,
     )
     got = np.asarray(stereo_sgbm_forward(jnp.asarray(l), jnp.asarray(r), cfg))
-    lf = oracle.clipped_xderiv(l, cfg.pre_filter_cap)
-    rf = oracle.clipped_xderiv(r, cfg.pre_filter_cap)
+    lf = oracle.sobel_xclip(l, cfg.pre_filter_cap)
+    rf = oracle.sobel_xclip(r, cfg.pre_filter_cap)
     S = oracle.aggregate(
         oracle.block_cost(oracle.bt_cost(lf, rf, D), K), P1, P2, 8
     )
@@ -286,8 +293,8 @@ def test_end_to_end_oracle_modes(pair, mode):
         speckle_window_size=10, speckle_range=2, mode=mode,
     )
     got = np.asarray(stereo_sgbm_forward(jnp.asarray(l), jnp.asarray(r), cfg))
-    lf = oracle.clipped_xderiv(l, cfg.pre_filter_cap)
-    rf = oracle.clipped_xderiv(r, cfg.pre_filter_cap)
+    lf = oracle.sobel_xclip(l, cfg.pre_filter_cap)
+    rf = oracle.sobel_xclip(r, cfg.pre_filter_cap)
     S = oracle.aggregate(
         oracle.block_cost(oracle.bt_cost(lf, rf, D), K), P1, P2,
         cfg.num_directions,

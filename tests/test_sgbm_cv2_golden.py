@@ -4,31 +4,29 @@ The reference's STEREO_SGBM component is OpenCV's implementation
 (src/StereoMatch.cpp:180, parameters :639-660). These tests pin
 `stereo_sgbm_forward` against raw cv2.StereoSGBM int16 outputs minted by
 scripts/dump_sgbm_cv2.py (tests/golden/sgbm_cv2.npz, cv2 5.0.0) for
-Teddy, Cones, Art and Dolls in all three modes, quantifying the deltas the oracle's
-header documents in words (tests/oracle_sgbm.py:5-8):
+Teddy, Cones, Art and Dolls in all three modes.
 
-  * replicate-border window sums + gather-based right disparity: the
-    jointly-valid interior agrees within ONE disparity on >= 96% of
-    pixels (exact fixed-point equality is lower — the window-border cost
-    deltas shift the sub-pixel parabola by a few /16 steps);
-  * the left `numDisparities` band is structurally different: OpenCV's
-    minX bound invalidates most of x < numDisparities while this
-    pipeline's edge-replicate cost + LR check keeps roughly half of it
-    valid (~47% of band pixels differ in validity); outside the band
-    validity agrees on >= 93% of pixels;
-  * end-to-end quality: %BP(nonocc) within 3.5 points of cv2 on every
-    (dataset, mode) cell — the rebuild is slightly worse on these two
-    sets because the valid left band scores against GT there. The exact
-    per-cell numbers live in QUALITY.md.
+Round 5 closed the round-4 semantic gaps: the prefilter is now the
+[1,2,1]-smoothed clipped Sobel-x cv2 uses (ops/sgbm.py::sobel_xclip),
+sub-pixel refinement is OpenCV's truncating integer formula, the LR
+check is the scatter-based pseudo right disparity with the floor/ceil
+dual lookup, and the left minX band is invalidated outright. The one
+remaining documented delta is replicate-border WINDOW sums (block cost)
+vs OpenCV's row-buffer border math — it accounts for the residual
+non-exact pixels (the sub-pixel parabola shifts by a few /16 steps and
+knife-edge uniqueness/LR decisions flip near texture-poor regions).
 
-Measured at pin time (exact / within-1d on jointly-valid x>=64 /
-validity mismatch x>=64 / %BP ours vs cv2):
-  Teddy hh   0.27 / 0.9758 / 0.064 / 13.50 vs 11.28
-  Teddy sgbm 0.26 / 0.9663 / 0.053 / 13.16 vs 10.96
-  Teddy 3way 0.26 / 0.9703 / 0.051 / 11.74 vs 10.40
-  Cones hh   0.33 / 0.9836 / 0.044 /  7.86 vs  5.15
-  Cones sgbm 0.32 / 0.9841 / 0.043 /  8.50 vs  5.09
-  Cones 3way 0.33 / 0.9850 / 0.043 /  7.71 vs  5.03
+Measured at pin time (exact16 / within-1d on jointly-valid x>=64 /
+validity mismatch x>=64 / %BP ours vs cv2; band validity mismatch is 0
+everywhere):
+  Teddy hh   0.6155 / 0.9944 / 0.035 / 11.83 vs 11.28
+  Teddy sgbm 0.6002 / 0.9919 / 0.031 / 11.24 vs 10.96
+  Teddy 3way 0.5767 / 0.9882 / 0.032 / 10.70 vs 10.40
+  Cones hh   0.6470 / 0.9954 / 0.027 /  5.86 vs  5.15
+  Cones sgbm 0.6429 / 0.9952 / 0.029 /  5.83 vs  5.09
+  Cones 3way 0.6276 / 0.9938 / 0.029 /  5.71 vs  5.03
+  Art  worst 0.5803 / 0.9794 / 0.092
+  Dolls worst 0.6113 / 0.9917 / 0.053
 """
 
 import pathlib
@@ -52,16 +50,16 @@ def cv2_goldens():
 
 
 # per-set pins (measured + slack): the 2005 sets (Art/Dolls) carry more
-# texture-poor area where the uniqueness/validity decisions diverge, so
-# their bounds are looser; measured at pin time (within-1d on
-# jointly-valid x>=64 / interior validity mismatch, worst mode):
-#   Teddy 0.9663/0.064  Cones 0.9836/0.044
-#   Art   0.9440/0.146  Dolls 0.9777/0.088
+# texture-poor area where knife-edge uniqueness/validity decisions
+# diverge, so their bounds are looser; measured at pin time (within-1d
+# on jointly-valid x>=64 / interior validity mismatch, worst mode):
+#   Teddy 0.9882/0.035  Cones 0.9938/0.029
+#   Art   0.9794/0.092  Dolls 0.9917/0.053
 BOUNDS = {
-    "Teddy": (0.96, 0.07),
-    "Cones": (0.96, 0.07),
-    "Art": (0.93, 0.16),
-    "Dolls": (0.96, 0.10),
+    "Teddy": (0.985, 0.045),
+    "Cones": (0.990, 0.040),
+    "Art": (0.975, 0.110),
+    "Dolls": (0.988, 0.065),
 }
 
 
@@ -88,10 +86,9 @@ def test_sgbm_matches_cv2(cv2_goldens, name, mode):
     validity_mm = float(((interior_o >= 0) != (interior_r >= 0)).mean())
     assert validity_mm <= vm_max, f"interior validity mismatch {validity_mm:.4f}"
 
-    # left band: structurally different (OpenCV minX invalidation vs
-    # edge-replicate cost) — pin that it stays band-local, not silent
+    # left band: minX invalidation now matches OpenCV exactly
     band_mm = float(((ours[:, :ND] >= 0) != (ref[:, :ND] >= 0)).mean())
-    assert 0.2 <= band_mm <= 0.6, f"left-band validity mismatch {band_mm:.3f}"
+    assert band_mm == 0.0, f"left-band validity mismatch {band_mm:.3f}"
 
     if ds.mask_nonocc is None:
         return  # 2005 sets: no nonocc mask; %BP pinned on Teddy/Cones
@@ -104,7 +101,7 @@ def test_sgbm_matches_cv2(cv2_goldens, name, mode):
         ).percent_bad_pixels
 
     bp_ours, bp_cv2 = bp(ours), bp(ref)
-    assert abs(bp_ours - bp_cv2) <= 3.5, f"%BP {bp_ours:.2f} vs cv2 {bp_cv2:.2f}"
+    assert abs(bp_ours - bp_cv2) <= 1.0, f"%BP {bp_ours:.2f} vs cv2 {bp_cv2:.2f}"
 
 
 def test_cv2_goldens_are_fresh():
