@@ -87,32 +87,51 @@ def _ocv_select_epilogue(
     if disp12_max_diff < 0:
         return disp16
 
-    # disp2 walk: descending d with the running (cost, d) pair living at
+    # disp2 walk: descending d with a running (cost, d) pair living at
     # lane x = xr + d; each d -> d-1 transition is one left lane shift
     # (BIG entering at lane W-1), `<=` so the lower d wins ties. The
-    # recurrence is inherently sequential, so the fori body UNROLLS 8
-    # steps — per-step loop/roll-issue latency (~2D sequential steps)
-    # measured +13 ms at 2K/d=256 in the un-unrolled form
+    # recurrence is sequential but ASSOCIATIVE in the shift+min monoid,
+    # so it splits into NCH independent d-range chains walked in the
+    # same loop body (ILP hides the per-step roll/select latency; the
+    # un-split un-unrolled form measured +13 ms at 2K/d=256) and merged
+    # with static shifts at the end.
     cand = jnp.where(valid0, sb, big)
     UN = 8 if D % 8 == 0 else 1
+    NCH = 4 if (UN == 8 and D % 32 == 0) else 1
+    Dc = D // NCH
 
     def wstep(t, carry):
-        m2, a2 = carry
+        ms, as_ = list(carry[0]), list(carry[1])
         for j in range(UN):
-            d = D - 1 - (t * UN + j)
-            m2 = jnp.where(
-                lane >= W - 1, big, pltpu.roll(m2, Wp - 1, axis=1)
-            )
-            a2 = pltpu.roll(a2, Wp - 1, axis=1)
-            sel = jnp.where(db == d, cand, big)
-            take = sel <= m2
-            m2 = jnp.where(take, sel, m2)
-            a2 = jnp.where(take, d, a2)
-        return m2, a2
+            for c in range(NCH):
+                d = (c + 1) * Dc - 1 - (t * UN + j)
+                m2 = jnp.where(
+                    lane >= W - 1, big, pltpu.roll(ms[c], Wp - 1, axis=1)
+                )
+                a2 = pltpu.roll(as_[c], Wp - 1, axis=1)
+                sel = jnp.where(db == d, cand, big)
+                take = sel <= m2
+                ms[c] = jnp.where(take, sel, m2)
+                as_[c] = jnp.where(take, d, a2)
+        return tuple(ms), tuple(as_)
 
-    m2, a2 = jax.lax.fori_loop(
-        0, D // UN, wstep, (jnp.full_like(db, big), jnp.zeros_like(db))
+    init = (
+        tuple(jnp.full_like(db, big) for _ in range(NCH)),
+        tuple(jnp.zeros_like(db) for _ in range(NCH)),
     )
+    ms, as_ = jax.lax.fori_loop(0, Dc // UN, wstep, init)
+    # merge: chain c's frame is xr + c*Dc — shift left by c*Dc, lower
+    # chains (smaller d) win ties via <=
+    m2, a2 = ms[0], as_[0]
+    for c in range(1, NCH):
+        sh = c * Dc
+        mc = jnp.where(
+            lane >= W - sh, big, pltpu.roll(ms[c], Wp - sh, axis=1)
+        )
+        ac = pltpu.roll(as_[c], Wp - sh, axis=1)
+        keep_lo = m2 <= mc
+        m2 = jnp.where(keep_lo, m2, mc)
+        a2 = jnp.where(keep_lo, a2, ac)
     if minD > 0:       # frame at d=0 is xr + minD: one extra static shift
         m2 = jnp.where(
             lane >= W - minD, big, pltpu.roll(m2, Wp - minD, axis=1)
@@ -128,6 +147,10 @@ def _ocv_select_epilogue(
     # floor/ceil dual lookups disp2[x - d]: masked rolls, chunked — one
     # DYNAMIC roll per 8 d values, composed with cheap static sub-rolls
     # (roll(roll(x, a), j) == roll(x, a + j) exactly, circular)
+    # each dd matches a disjoint pixel set, so the select chain is an
+    # arbitrary-order reduction: 4 round-robin accumulators break the
+    # serial where-chain (ILP), merged by max (matches are >= minD >
+    # the minD-1 init; minD >= 0 enforced above)
     d_f = jnp.right_shift(disp16, 4)
     d_c = jnp.right_shift(disp16 + 15, 4)
     invp = jnp.full_like(db, minD - 1)
@@ -135,16 +158,22 @@ def _ocv_select_epilogue(
     n_lk = (D + minD + 1 + LUN - 1) // LUN
 
     def lstep(g, carry):
-        at_f, at_c = carry
+        fs, cs = list(carry[0]), list(carry[1])
         base = pltpu.roll(disp2, g * LUN, axis=1)
         for j in range(LUN):
             dd = g * LUN + j
             r = pltpu.roll(base, j, axis=1)
-            at_f = jnp.where(d_f == dd, r, at_f)
-            at_c = jnp.where(d_c == dd, r, at_c)
-        return at_f, at_c
+            k = j % 4
+            fs[k] = jnp.where(d_f == dd, r, fs[k])
+            cs[k] = jnp.where(d_c == dd, r, cs[k])
+        return tuple(fs), tuple(cs)
 
-    at_f, at_c = jax.lax.fori_loop(0, n_lk, lstep, (invp, invp))
+    fs, cs = jax.lax.fori_loop(
+        0, n_lk, lstep,
+        (tuple(invp for _ in range(4)), tuple(invp for _ in range(4))),
+    )
+    at_f = jnp.maximum(jnp.maximum(fs[0], fs[1]), jnp.maximum(fs[2], fs[3]))
+    at_c = jnp.maximum(jnp.maximum(cs[0], cs[1]), jnp.maximum(cs[2], cs[3]))
     valid = disp16 != inv_val
     lr_bad = (
         valid
