@@ -50,6 +50,7 @@ def _round_up(x: int, m: int) -> int:
 def _ocv_select_epilogue(
     db, sb, not_unique, s_m, s_p, lane, *,
     D: int, W: int, disp12_max_diff: int, min_disparity: int,
+    pack_sh: int | None = None,
 ):
     """cv::StereoSGBM selection tail shared by both kernels (the exact
     vector form of ops/sgbm.py::select_disparity_hdw's epilogue):
@@ -87,93 +88,106 @@ def _ocv_select_epilogue(
     if disp12_max_diff < 0:
         return disp16
 
-    # disp2 walk: descending d with a running (cost, d) pair living at
-    # lane x = xr + d; each d -> d-1 transition is one left lane shift
-    # (BIG entering at lane W-1), `<=` so the lower d wins ties. The
-    # recurrence is sequential but ASSOCIATIVE in the shift+min monoid,
-    # so it splits into NCH independent d-range chains walked in the
-    # same loop body (ILP hides the per-step roll/select latency; the
-    # un-split un-unrolled form measured +13 ms at 2K/d=256) and merged
-    # with static shifts at the end.
-    cand = jnp.where(valid0, sb, big)
-    UN = 8 if D % 8 == 0 else 1
-    NCH = 4 if (UN == 8 and D % 32 == 0) else 1
-    Dc = D // NCH
-
-    def wstep(t, carry):
-        ms, as_ = list(carry[0]), list(carry[1])
-        for j in range(UN):
-            for c in range(NCH):
-                d = (c + 1) * Dc - 1 - (t * UN + j)
-                m2 = jnp.where(
-                    lane >= W - 1, big, pltpu.roll(ms[c], Wp - 1, axis=1)
-                )
-                a2 = pltpu.roll(as_[c], Wp - 1, axis=1)
-                sel = jnp.where(db == d, cand, big)
-                take = sel <= m2
-                ms[c] = jnp.where(take, sel, m2)
-                as_[c] = jnp.where(take, d, a2)
-        return tuple(ms), tuple(as_)
-
-    init = (
-        tuple(jnp.full_like(db, big) for _ in range(NCH)),
-        tuple(jnp.zeros_like(db) for _ in range(NCH)),
-    )
-    ms, as_ = jax.lax.fori_loop(0, Dc // UN, wstep, init)
-    # merge: chain c's frame is xr + c*Dc — shift left by c*Dc, lower
-    # chains (smaller d) win ties via <=
-    m2, a2 = ms[0], as_[0]
-    for c in range(1, NCH):
-        sh = c * Dc
-        mc = jnp.where(
-            lane >= W - sh, big, pltpu.roll(ms[c], Wp - sh, axis=1)
-        )
-        ac = pltpu.roll(as_[c], Wp - sh, axis=1)
-        keep_lo = m2 <= mc
-        m2 = jnp.where(keep_lo, m2, mc)
-        a2 = jnp.where(keep_lo, a2, ac)
-    if minD > 0:       # frame at d=0 is xr + minD: one extra static shift
-        m2 = jnp.where(
-            lane >= W - minD, big, pltpu.roll(m2, Wp - minD, axis=1)
-        )
-        a2 = pltpu.roll(a2, Wp - minD, axis=1)
-    elif minD < 0:
+    if minD < 0:
         raise NotImplementedError(
             "select kernel supports min_disparity >= 0 (negative needs "
             "negative dynamic rolls — use the XLA select)"
         )
-    disp2 = jnp.where(m2 < big, a2 + minD, minD - 1)
+    # disp2 walk: descending d with a running candidate living at lane
+    # x = xr + d; each d -> d-1 transition is one left lane shift (BIG
+    # entering at lane W-1). RANGE-BOUNDED: every candidate's d is a
+    # d_best value of this row tile, so the walk covers only
+    # [dmin, dmax] of the tile — natural content spans a fraction of D
+    # (the unbounded walk + lookups measured +8 ms at 2K/d=256). With
+    # `pack_sh` the candidate is ONE packed key (sb << SH) | db whose
+    # min resolves cost ties to the smaller d (identical to the
+    # descending `<=` pair walk); without it (no value bound) a
+    # (cost, d) pair walks the same loop.
+    # range over CANDIDATE pixels only (valid0 — the minX band's garbage
+    # argmins would otherwise widen [dmin, dmax] back to ~D)
+    dmin = jnp.min(jnp.where(valid0, db, D - 1))
+    dmax = jnp.max(jnp.where(valid0, db, 0))
+    dmax = jnp.maximum(dmax, dmin)
+    UN = 4
+    # main loop: UN steps per trip; traced remainder loop finishes the
+    # range so the frame always ends exactly at d = dmin >= 0
+    n_main = (dmax - dmin + 1) // UN
+    n_rem = (dmax - dmin + 1) - n_main * UN
 
-    # floor/ceil dual lookups disp2[x - d]: masked rolls, chunked — one
-    # DYNAMIC roll per 8 d values, composed with cheap static sub-rolls
-    # (roll(roll(x, a), j) == roll(x, a + j) exactly, circular)
-    # each dd matches a disjoint pixel set, so the select chain is an
-    # arbitrary-order reduction: 4 round-robin accumulators break the
-    # serial where-chain (ILP), merged by max (matches are >= minD >
-    # the minD-1 init; minD >= 0 enforced above)
+    if pack_sh is not None:
+        BIGK = jnp.int32(1 << 30)
+        candk = jnp.where(valid0, (sb << pack_sh) | db, BIGK)
+
+        def wsub(d, m):
+            m = jnp.where(lane >= W - 1, BIGK, pltpu.roll(m, Wp - 1, axis=1))
+            return jnp.minimum(m, jnp.where(db == d, candk, BIGK))
+
+        def wstep(t, m):
+            d0 = dmax - t * UN
+            for j in range(UN):
+                m = wsub(d0 - j, m)
+            return m
+
+        mk = jax.lax.fori_loop(0, n_main, wstep, jnp.full_like(db, BIGK))
+        mk = jax.lax.fori_loop(
+            0, n_rem, lambda t, m: wsub(dmax - n_main * UN - t, m), mk
+        )
+        # final frame is xr + dmin (+ minD): one dynamic left shift
+        sh = dmin + minD
+        mk = jnp.where(
+            lane >= W - sh, BIGK, pltpu.roll(mk, Wp - sh, axis=1)
+        )
+        disp2 = jnp.where(
+            mk < BIGK, (mk & jnp.int32((1 << pack_sh) - 1)) + minD, minD - 1
+        )
+    else:
+        cand = jnp.where(valid0, sb, big)
+
+        def wsub2(d, carry):
+            m2, a2 = carry
+            m2 = jnp.where(lane >= W - 1, big, pltpu.roll(m2, Wp - 1, axis=1))
+            a2 = pltpu.roll(a2, Wp - 1, axis=1)
+            sel = jnp.where(db == d, cand, big)
+            take = sel <= m2        # later (smaller) d wins ties
+            return jnp.where(take, sel, m2), jnp.where(take, d, a2)
+
+        def wstep2(t, carry):
+            d0 = dmax - t * UN
+            for j in range(UN):
+                carry = wsub2(d0 - j, carry)
+            return carry
+
+        init = (jnp.full_like(db, big), jnp.zeros_like(db))
+        m2, a2 = jax.lax.fori_loop(0, n_main, wstep2, init)
+        m2, a2 = jax.lax.fori_loop(
+            0, n_rem, lambda t, c: wsub2(dmax - n_main * UN - t, c), (m2, a2)
+        )
+        sh = dmin + minD
+        m2 = jnp.where(lane >= W - sh, big, pltpu.roll(m2, Wp - sh, axis=1))
+        a2 = pltpu.roll(a2, Wp - sh, axis=1)
+        disp2 = jnp.where(m2 < big, a2 + minD, minD - 1)
+
+    # floor/ceil dual lookups disp2[x - d]: masked positive dynamic
+    # rolls, also range-bounded — d_f/d_c of valid pixels lie in
+    # [dmin + minD - 1, dmax + minD + 1]; one dynamic roll per UN values
+    # composed with exact static sub-rolls, overrun dd match nothing
     d_f = jnp.right_shift(disp16, 4)
     d_c = jnp.right_shift(disp16 + 15, 4)
     invp = jnp.full_like(db, minD - 1)
-    LUN = 8
-    n_lk = (D + minD + 1 + LUN - 1) // LUN
+    lo_lk = jnp.maximum(dmin + minD - 1, 0)
+    n_lk = (dmax + minD + 2 - lo_lk + UN - 1) // UN
 
     def lstep(g, carry):
-        fs, cs = list(carry[0]), list(carry[1])
-        base = pltpu.roll(disp2, g * LUN, axis=1)
-        for j in range(LUN):
-            dd = g * LUN + j
+        at_f, at_c = carry
+        base = pltpu.roll(disp2, lo_lk + g * UN, axis=1)
+        for j in range(UN):
+            dd = lo_lk + g * UN + j
             r = pltpu.roll(base, j, axis=1)
-            k = j % 4
-            fs[k] = jnp.where(d_f == dd, r, fs[k])
-            cs[k] = jnp.where(d_c == dd, r, cs[k])
-        return tuple(fs), tuple(cs)
+            at_f = jnp.where(d_f == dd, r, at_f)
+            at_c = jnp.where(d_c == dd, r, at_c)
+        return at_f, at_c
 
-    fs, cs = jax.lax.fori_loop(
-        0, n_lk, lstep,
-        (tuple(invp for _ in range(4)), tuple(invp for _ in range(4))),
-    )
-    at_f = jnp.maximum(jnp.maximum(fs[0], fs[1]), jnp.maximum(fs[2], fs[3]))
-    at_c = jnp.maximum(jnp.maximum(cs[0], cs[1]), jnp.maximum(cs[2], cs[3]))
+    at_f, at_c = jax.lax.fori_loop(0, n_lk, lstep, (invp, invp))
     valid = disp16 != inv_val
     lr_bad = (
         valid
@@ -363,7 +377,7 @@ def _select_kernel_1p(
         out_d[...] = _ocv_select_epilogue(
             db, sb, not_unique, s_m2, s_p, lane,
             D=D, W=W, disp12_max_diff=disp12_max_diff,
-            min_disparity=min_disparity,
+            min_disparity=min_disparity, pack_sh=SH,
         )
 
 

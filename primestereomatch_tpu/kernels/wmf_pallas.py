@@ -41,13 +41,14 @@ TILE_W = 128
 # tuning hooks (see sweep notes in the module docstring)
 _DBUF_DT = None      # None = int16; jnp.int32 fallback for wide ranges
 _PROBE_B = None      # offsets per pass-2 reduce trip (None = win)
-_FUSE_T1 = True      # fold the FIRST K-way probe trip into pass 1 (its mids
-                     # depend only on (dmn, width0), known before the sweep):
-                     # deletes one full (wbuf, dbuf) re-read sweep; tiles
-                     # whose disparity range fits one trip skip pass 2
-                     # entirely. The fused cums accumulate per offset while
-                     # re-read trips sum pb-blocks — knife-edge median ties
-                     # may move within the documented last-ulp class.
+_FUSE_T1 = False     # fold the FIRST K-way probe trip into pass 1 (its mids
+                     # depend only on (dmn, width0), known before the sweep),
+                     # deleting one (wbuf, dbuf) re-read sweep. MEASURED
+                     # NEGATIVE on v5e (round 5): 2K WMF 30.5 -> 34.3
+                     # ms/frame — natural-content tiles span few trips, so
+                     # the unconditional +9 ops/offset in pass 1 outweigh
+                     # the saved sweep. Kept as a flag: re-evaluate on
+                     # content with wide per-tile disparity ranges.
 _NWAY = 4            # K-way search fan-out per (wbuf, dbuf) sweep: each trip
                      # decides log2(K) binary levels from ONE re-read of the
                      # cached (w, d) pairs — bit-identical to binary (K=2;
