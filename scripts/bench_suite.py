@@ -161,8 +161,13 @@ def main():
             print(json.dumps({"config": name, "error": str(e)[:200]}))
 
     # 7. sharded step on the real chip at mesh (1,1,1): sharding overhead
-    #    must be a measured number, not a design argument (shard_map
-    #    dispatch + spec plumbing around the identical per-chip program)
+    #    must be a measured number, not a design argument. ITERS MATCH the
+    #    corresponding unsharded rows: round 4 benched this row at half
+    #    the unsharded enqueue depth and the relay's fixed per-batch fetch
+    #    latency C read as a fake 17% "sharding overhead" (C*(1/20-1/40)
+    #    ~ 0.85 ms/frame at Teddy); a same-depth round-5 A/B/C/D measured
+    #    unsharded vs batch-indexed vs mesh111 vs bare shard_map all
+    #    within 0.6% (4.19-4.21 ms/frame)
     try:
         from primestereomatch_tpu.parallel import MeshPlan, make_mesh, make_sharded_gif
 
@@ -170,8 +175,8 @@ def main():
         # batch-only mesh accepts any H/W: full frames, directly
         # comparable to the unsharded rows above
         for name, (lx, rx), c, it in (
-            ("gif_teddy_sharded_mesh111", (l64, r64), cfg, 20),
-            ("gif_2k_sharded_mesh111", (l2k, r2k), cfg256, 8),
+            ("gif_teddy_sharded_mesh111", (l64, r64), cfg, 40),
+            ("gif_2k_sharded_mesh111", (l2k, r2k), cfg256, 12),
         ):
             step = make_sharded_gif(mesh, c)
             record(name, bench(step, (lx[None], rx[None]), iters=it), iters=it)
@@ -187,7 +192,7 @@ def main():
         l2u = jnp.asarray(tiled(teddy.left_bgr, (1242, 2208)))
         r2u = jnp.asarray(tiled(teddy.right_bgr, (1242, 2208)))
         for name, (lx, rx), nd, it in (
-            ("sgbm_teddy_sharded_mesh111", (lu, ru), 64, 20),
+            ("sgbm_teddy_sharded_mesh111", (lu, ru), 64, 40),
             ("sgbm_2k_sharded_mesh111", (l2u, r2u), 256, 8),
         ):
             step = make_sharded_sgbm(mesh, SGBMConfig(num_disparities=nd))
