@@ -174,6 +174,12 @@ def make_sharded_sgbm(mesh: Mesh, cfg=None):
     bn = mesh.shape[AXIS_BATCH]
 
     def shard_fn(l_blk, r_blk):
+        if l_blk.shape[0] == 1:
+            # single frame per shard: call the pipeline directly — vmap-of-1
+            # routes the Pallas entries through their batched fold rules,
+            # which measured ~2x slower at Teddy (BENCH_SUITE round 5:
+            # 7.68 vs ~4 ms/frame); mirrors make_sharded_gif's fast path
+            return stereo_sgbm_forward(l_blk[0], r_blk[0], cfg)[None]
         return jax.vmap(lambda a, b: stereo_sgbm_forward(a, b, cfg))(l_blk, r_blk)
 
     mapped = jax.shard_map(
