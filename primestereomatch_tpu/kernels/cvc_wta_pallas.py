@@ -63,7 +63,17 @@ from primestereomatch_tpu.kernels.lowmaps_pallas import (
 from primestereomatch_tpu.ops.guided_filter import _color_inverse_cov
 
 MS = 2           # in-VMEM left maps margin (lanes for the sA slice)
-VMEM_BUDGET = 10 << 20
+# planner budget for the CONSERVATIVE _vmem_model below. Calibrated on
+# v5e at 2K/d=256 against Mosaic's 16M scoped-stack limit: ISOLATED
+# tile_h=64 (model 22.6M) compiles and runs (actual stack ~0.58x model;
+# tile_h=96 at 32.5M OOMs at 18.78M actual) — but the SAME tile_h=64
+# kernel inside the full stereo_gif_forward program OOMs at 16.73M
+# (Mosaic stack depends on the operands' producer layouts, the exact
+# failure mode CLAUDE.md records for cvc_lowmaps TH=32). In-pipeline
+# factor ~0.74x model => model-space limit ~21.6M; 20M keeps tile_h=32
+# (12.7M) in and 64 out. Explicit tile_h overrides remain available for
+# isolated-kernel use.
+VMEM_BUDGET = 20 << 20
 # debug/tuning knob: row-interp matmul precision ("highest" = exact-f32
 # 6-pass, the parity requirement; "default" = bf16 1-pass, BENCH ONLY)
 _MM_PRECISION = "highest"
@@ -484,7 +494,11 @@ def cvc_fgf_wta_pallas(
     tau1: float | None = None,
     tau2: float | None = None,
     tile_h: int | None = None,
-    schedule: str = "grid",   # "grid" (chunks on the grid axis) | "fori"
+    schedule: str = "fori",   # "fori" (chunk loop in-kernel, blocks DMA'd
+                              # once per row tile — measured faster at every
+                              # tile_h on v5e) | "grid" (chunks on the grid
+                              # axis; Pallas re-streams the input blocks
+                              # per chunk step)
     interpret: bool = False,
 ) -> jax.Array:
     """Fully fused CVC + low-maps + WTA for one view: returns the (H, W)

@@ -118,6 +118,16 @@ def main():
         cfg256 = GIFConfig(max_dis=256)
         f2k = jax.jit(lambda a, b: stereo_gif_forward(a, b, cfg256))
         record("gif_2k_2208x1242_d256", bench(f2k, (l2k, r2k), iters=12), iters=12)
+        # opt-in FULLY fused CVC+maps+WTA tail (kernels/cvc_wta_pallas.py):
+        # cost volume AND coefficient maps never exist in HBM
+        cfg_fused = GIFConfig(max_dis=256, tail_fusion="full")
+        f2kf = jax.jit(lambda a, b: stereo_gif_forward(a, b, cfg_fused))
+        record("gif_2k_fused_tail", bench(f2kf, (l2k, r2k), iters=12), iters=12,
+               note="opt-in tail_fusion='full' comparison row: one kernel "
+                    "per view builds cost+maps+WTA in VMEM (~150 MB/frame "
+                    "HBM vs ~10 GB) but is compute-bound above the default "
+                    "maps path — expected slower; tracks the fused kernel "
+                    "on hardware")
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"config": "gif_2k_2208x1242_d256", "error": str(e)[:200]}))
 
@@ -223,8 +233,12 @@ def main():
             n = sum(1 for _ in app.stream(frames))
             dt = (time.perf_counter() - t0) / max(n, 1)
             record(name, dt, iters=frames,
-                   note="pipelined stream(): full disparity fetch per frame "
-                        "(relay fetch latency overlapped, not amortized)")
+                   note="pipelined stream(): per-frame host->device frame "
+                        "upload AND full disparity fetch ride the relay "
+                        "(fixed ~26-60 ms fetch latency overlapped but not "
+                        "amortized; the 2K synthetic source uploads ~66 MB "
+                        "of fresh frames per step) — an end-to-end serving "
+                        "latency row, not device throughput")
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"config": "gif_stream", "error": str(e)[:200]}))
 
