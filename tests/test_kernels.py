@@ -856,3 +856,30 @@ def test_cvc_wta_fused_tau_and_tile_h(rng):
     np.testing.assert_array_equal(a, b)
     assert a.shape == (H, W) and a.dtype == np.uint8
     assert a.max() < D and (a > 0).any()
+
+
+def test_select_partials_min_disparity(rng):
+    """min_disparity > 0 through BOTH select kernels (the packed walk's
+    final dmin+minD shift and the lookup range offset) — bit-exact vs
+    the XLA select."""
+    from primestereomatch_tpu.kernels.select_pallas import (
+        select_disparity_partials_pallas,
+    )
+    from primestereomatch_tpu.kernels.sgbm_pallas import (
+        sgbm_aggregate_partials_pallas,
+    )
+    from primestereomatch_tpu.ops.sgbm import select_disparity_hdw
+
+    H, W, D, min_d = 26, 44, 16, 4
+    bound = 9450
+    C = jnp.asarray(rng.integers(0, bound, (H, W, D)).astype(np.int32))
+    parts = sgbm_aggregate_partials_pallas(
+        C, 600, 2400, 8, cost_bound=bound, interpret=True
+    )
+    S = sum(q[:H, :, :W].astype(jnp.int32) for q in parts)
+    want = np.asarray(select_disparity_hdw(S, 10, 1, min_d))
+    for vb in (None, 8 * (bound + 2400)):
+        got = np.asarray(select_disparity_partials_pallas(
+            parts, (H, W), 10, 1, min_d, value_bound=vb, interpret=True,
+        ))
+        np.testing.assert_array_equal(got, want)

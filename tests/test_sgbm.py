@@ -347,3 +347,46 @@ def test_sgbm_quality_teddy(teddy):
     density = valid.mean()
     assert density > 0.5, f"disparity density too low: {density:.2f}"
     assert bp_valid < 20.0, f"SGBM %BP(valid,nonocc) too high: {bp_valid:.2f}"
+
+
+@pytest.mark.parametrize("min_d", [3, 7])
+def test_select_disparity_min_disparity(min_d):
+    """min_disparity > 0 exercises the scatter frame offset (xr =
+    x - (d + minD)), the disp2 value offset, and the shifted minX band —
+    hdw must stay bit-exact to the hwd reference and to the oracle."""
+    rng = np.random.default_rng(21)
+    H, W, D = 20, 96, 16
+    S = rng.integers(0, 5000, (H, W, D)).astype(np.int32)
+    want = oracle.select_disparity(S.astype(np.int64), 10, 1, min_d)
+    got_hwd = np.asarray(ops.select_disparity(jnp.asarray(S), 10, 1, min_d))
+    got_hdw = np.asarray(
+        ops.select_disparity_hdw(
+            jnp.asarray(np.transpose(S, (0, 2, 1))), 10, 1, min_d
+        )
+    )
+    np.testing.assert_array_equal(got_hwd, want)
+    np.testing.assert_array_equal(got_hdw, want)
+
+
+def test_select_disparity_degenerate_tiles():
+    """Degenerate selection inputs: a constant-disparity field (range 1)
+    and an everything-not-unique field (no scatter candidates at all) —
+    edge cases of the range-bounded disp2 walk."""
+    H, W, D = 16, 80, 8
+    # constant winner at d=3 everywhere, comfortably unique
+    d_idx = np.arange(D)[None, None, :]
+    S = (np.abs(d_idx - 3) * 1000 + 10).astype(np.int32)
+    S = np.broadcast_to(S, (H, W, D)).copy()
+    want = oracle.select_disparity(S.astype(np.int64), 10, 1, 0)
+    got = np.asarray(
+        ops.select_disparity_hdw(jnp.asarray(np.transpose(S, (0, 2, 1))), 10, 1, 0)
+    )
+    np.testing.assert_array_equal(got, want)
+    # flat volume: every far d ties the best cost -> nothing is unique
+    S2 = np.full((H, W, D), 100, np.int32)
+    want2 = oracle.select_disparity(S2.astype(np.int64), 10, 1, 0)
+    got2 = np.asarray(
+        ops.select_disparity_hdw(jnp.asarray(np.transpose(S2, (0, 2, 1))), 10, 1, 0)
+    )
+    np.testing.assert_array_equal(got2, want2)
+    assert (np.asarray(got2) == -16).all()
