@@ -75,13 +75,18 @@ class GIFConfig:
     # (2K / HD720 / ZED) with f32 CVC; other shapes keep the
     # cvc_lowmaps + poly-WTA pair. Same last-ulp tolerance class as
     # wta_impl/cvc_impl (hardware parity measured 0 px at 2K).
-    # DEFAULT 'maps': the fused kernel is compute-bound at 22.9 ms/view
-    # (2K, fori/TH=64) vs ~20.4 ms/view device for the two-kernel pair —
-    # with the HBM traffic gone, the maps-chain VPU stage (~20% efficient
-    # at these block shapes) dominates (v5e round-5 ablation: chain+cost
-    # ~16, matmul ~3.9, lerp ~3.0 ms/view). 'full' opts into the fused
-    # kernel — the right choice when HBM capacity/traffic is the
-    # constraint (~150 MB/frame vs ~10 GB/frame) or under heavy batching.
+    # DEFAULT 'maps': with the HBM traffic gone the fused kernel is
+    # compute-bound on the maps-chain VPU stage (~20% efficient at these
+    # block shapes; v5e round-5 ablation: chain+cost ~16, matmul ~3.9,
+    # lerp ~3.0 ms/view at 2K). Measured full-pipeline A/B (v5e,
+    # maps vs full, bitwise/tie-class identical outputs):
+    #   2K/d=256    77.2 vs 80.3 ms   (maps wins)
+    #   HD720/d=128 19.8 vs 19.4 ms   (fused edges out ~2%, noise-level)
+    #   ZED/d=64     4.8 vs  5.0 ms   (maps wins)
+    # — no monotone crossover, so the default stays 'maps'; 'full' opts
+    # into the fused kernel, the right choice when HBM capacity/traffic
+    # is the constraint (~150 MB/frame vs ~10 GB/frame) or under heavy
+    # batching.
     tail_fusion: str = "maps"    # maps | full
     # 'u8' builds the cost volume with the reference's quantized uchar
     # OpenCL-kernel semantics (assets/cvc.cl:42-126 cvc_uchar_vx + the
